@@ -1,0 +1,163 @@
+"""Procedural synthetic RGB-D sequence: an analytic box room with props.
+
+The reference is driven by recorded RGB-D datasets (FastCaMo / Replica /
+ScanNet); none are vendored here, so this module provides an exact-GT
+synthetic sequence for integration tests and benchmarking: an axis-
+aligned room containing boxes and a sphere, rendered by sphere-tracing
+the analytic SDF along the OpenGL pixel rays. Camera trajectories sweep
+through the room (optionally far enough to exercise multi-submap
+allocation and loop closure).
+
+Rendering runs as one jitted raycast per frame; depth and a procedural
+albedo are exact, so ATE and reconstruction metrics have a clean ground
+truth.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.geometry import get_camera_rays
+
+
+# ---------------------------------------------------------------------------
+# Analytic scene SDF (room interior = free space)
+# ---------------------------------------------------------------------------
+
+def _sd_box(p, center, half):
+    q = jnp.abs(p - center) - half
+    return (jnp.linalg.norm(jnp.maximum(q, 0.0), axis=-1)
+            + jnp.minimum(jnp.max(q, axis=-1), 0.0))
+
+
+def _sd_sphere(p, center, r):
+    return jnp.linalg.norm(p - center, axis=-1) - r
+
+
+def scene_sdf(p: jnp.ndarray, room_half: jnp.ndarray) -> jnp.ndarray:
+    """SDF of the scene: negative inside solid matter."""
+    # room walls: complement of the interior box
+    d_room = -_sd_box(p, jnp.zeros(3), room_half)
+    d1 = _sd_box(p, jnp.asarray([1.2, -0.8, -1.0]), jnp.asarray([0.5, 0.5, 0.5]))
+    d2 = _sd_box(p, jnp.asarray([-1.5, 0.6, 1.2]), jnp.asarray([0.4, 0.9, 0.4]))
+    d3 = _sd_sphere(p, jnp.asarray([0.3, 1.0, 0.8]), 0.55)
+    d4 = _sd_box(p, jnp.asarray([-0.2, -1.4, 0.2]), jnp.asarray([0.9, 0.25, 0.6]))
+    return jnp.minimum(jnp.minimum(d_room, d1), jnp.minimum(jnp.minimum(d2, d3), d4))
+
+
+def scene_albedo(p: jnp.ndarray) -> jnp.ndarray:
+    """Smooth procedural color field in [0,1]^3."""
+    return 0.5 + 0.5 * jnp.stack([
+        jnp.sin(1.7 * p[..., 0] + 0.5 * p[..., 1]),
+        jnp.sin(1.3 * p[..., 1] + 0.7 * p[..., 2] + 2.0),
+        jnp.sin(1.1 * p[..., 2] + 0.9 * p[..., 0] + 4.0),
+    ], axis=-1)
+
+
+@partial(jax.jit, static_argnames=("n_steps",))
+def _raycast(rays_o, rays_d, room_half, far, n_steps: int = 96):
+    """Sphere-trace [N,3] rays; returns (depth [N], hit mask [N])."""
+    def body(i, carry):
+        t, done = carry
+        p = rays_o + rays_d * t[:, None]
+        d = scene_sdf(p, room_half)
+        hit = jnp.abs(d) < 1e-3
+        done = done | hit
+        t = jnp.where(done, t, t + jnp.clip(d, 1e-3, 0.5))
+        return t, done
+
+    t0 = jnp.full(rays_o.shape[0], 1e-3)
+    t, done = jax.lax.fori_loop(0, n_steps, body, (t0, jnp.zeros_like(t0, bool)))
+    valid = done & (t < far)
+    return jnp.where(valid, t, 0.0), valid
+
+
+class SyntheticDataset:
+    """Map-style dataset mirroring the reference's per-frame dict contract."""
+
+    def __init__(self, cfg: Dict, n_frames: int = 200,
+                 trajectory: str = "orbit", seed: int = 0):
+        cam = cfg["cam"]
+        ds = cfg["data"].get("downsample", 1)
+        self.H, self.W = cam["H"] // ds, cam["W"] // ds
+        self.fx, self.fy = cam["fx"] / ds, cam["fy"] / ds
+        self.cx, self.cy = cam["cx"] / ds, cam["cy"] / ds
+        self.far = cam["far"]
+        self.num_frames = n_frames
+        self.frame_ids = list(range(n_frames))
+        self.room_half = jnp.asarray(
+            cfg.get("synthetic", {}).get("room_half", [3.0, 2.2, 2.5]))
+
+        self.rays_d = np.asarray(
+            get_camera_rays(self.H, self.W, self.fx, self.fy, self.cx, self.cy))
+        self.poses = [self._pose(i, trajectory) for i in range(n_frames)]
+        self._cache: Dict[int, Dict] = {}
+
+    # -- camera trajectory --------------------------------------------------
+    def _pose(self, i: int, trajectory: str) -> np.ndarray:
+        t = i / max(self.num_frames - 1, 1)
+        if trajectory == "orbit":
+            # slow yaw sweep from near the room center
+            ang = 0.9 * np.sin(2 * np.pi * t)
+            pos = np.array([0.8 * np.sin(2 * np.pi * t),
+                            0.3 * np.sin(4 * np.pi * t),
+                            0.5 * np.cos(2 * np.pi * t)])
+        elif trajectory == "corridor":
+            # translate along x while yawing — leaves the initial submap bound
+            ang = 0.6 * np.sin(4 * np.pi * t)
+            pos = np.array([-2.0 + 4.0 * t, 0.2 * np.sin(4 * np.pi * t), 0.0])
+        elif trajectory == "loop":
+            # go out and return to the start (exercises loop closure)
+            s = np.sin(np.pi * t)
+            ang = 1.4 * s
+            pos = np.array([2.2 * s, 0.0, 0.8 * np.sin(2 * np.pi * t)])
+        else:
+            raise ValueError(trajectory)
+
+        c, s_ = np.cos(ang), np.sin(ang)
+        # yaw about +y (OpenGL camera looks along -z)
+        R = np.array([[c, 0, s_], [0, 1, 0], [-s_, 0, c]])
+        c2w = np.eye(4, dtype=np.float32)
+        c2w[:3, :3] = R
+        c2w[:3, 3] = pos
+        return c2w
+
+    # -- rendering ----------------------------------------------------------
+    def _render(self, index: int) -> Dict:
+        c2w = self.poses[index]
+        dirs = self.rays_d.reshape(-1, 3)          # OpenGL dirs, dz = -1
+        norms = np.linalg.norm(dirs, axis=-1)
+        rays_d_w = dirs @ c2w[:3, :3].T
+        unit_d = rays_d_w / norms[:, None]
+        rays_o_w = np.broadcast_to(c2w[:3, 3], rays_d_w.shape)
+        s, valid = _raycast(jnp.asarray(rays_o_w), jnp.asarray(unit_d),
+                            self.room_half, self.far * 2.0)
+        s = np.asarray(s)
+        pts = rays_o_w + unit_d * s[:, None]
+        rgb = np.asarray(scene_albedo(jnp.asarray(pts)))
+        rgb = np.where(np.asarray(valid)[:, None], rgb, 0.0)
+        # z-depth convention: pts = o + dirs * depth with |dir_z| = 1, so
+        # depth = euclidean distance / ||dirs|| (matches the reference's
+        # target_d semantics, datasets/dataset.py depth images)
+        depth = s / norms
+        depth = np.where(np.asarray(valid) & (depth < self.far), depth, 0.0)
+        return {
+            "frame_id": index,
+            "c2w": c2w,
+            "rgb": rgb.reshape(self.H, self.W, 3).astype(np.float32),
+            "depth": depth.reshape(self.H, self.W).astype(np.float32),
+            "direction": self.rays_d.astype(np.float32),
+        }
+
+    def __len__(self):
+        return self.num_frames
+
+    def __getitem__(self, index: int) -> Dict:
+        if index not in self._cache:
+            self._cache[index] = self._render(index)
+        return self._cache[index]

@@ -1,0 +1,284 @@
+"""Per-submap neural field: encode -> decode -> volume render -> losses.
+
+TPU-native counterpart of the reference JointEncoding
+(/root/reference/model/scene_rep.py:11-238). The whole ray pipeline —
+depth-guided z-sampling, coordinate normalization, hash+frequency
+encoding, MLP decode, SDF-to-weight compositing, and the loss stack — is
+a single pure function over a params pytree, so XLA compiles one fused
+region and jax.grad provides the backward (including the scatter-add
+into the hash table).
+
+Key semantics preserved:
+  * z-sampling: n_range_d samples in +-range_d around the GT depth
+    (falling back to near..far linspace for invalid depth) merged with
+    n_samples_d uniform samples, sorted, then stratified-perturbed
+    (ref scene_rep.py:153-187).
+  * sdf2weights: sigmoid(sdf/tr) * sigmoid(-sdf/tr), masked after the
+    first sign crossing + sc_factor*trunc, renormalized (ref :58-78).
+  * losses: rgb (with rgb_missing weighting), masked depth, free-space +
+    truncation SDF losses with optional EMD classification terms
+    (ref :190-238).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.encoding import (FrequencyConfig, HashGridConfig, frequency_encode,
+                            hash_encode, init_hash_table)
+from ..ops.losses import compute_loss, get_sdf_loss, mse2psnr
+from .decoder import DecoderConfig, decoder_apply, init_decoder_params
+
+
+@dataclasses.dataclass(frozen=True)
+class FieldConfig:
+    """Static (hashable) configuration of the per-submap field + renderer."""
+    grid: HashGridConfig = HashGridConfig()
+    freq: FrequencyConfig = FrequencyConfig()
+    decoder: DecoderConfig = DecoderConfig()
+    # z sampling
+    n_range_d: int = 25
+    range_d: float = 0.2
+    n_samples_d: int = 50
+    near: float = 0.0
+    far: float = 5.0
+    perturb: bool = True
+    # losses / SDF
+    trunc: float = 0.1
+    sc_factor: float = 1.0
+    depth_trunc: float = 100.0
+    rgb_missing: float = 0.0
+    norm_factor: float = 1.0
+    use_bound_normalize: bool = True
+
+    @property
+    def n_samples_total(self) -> int:
+        return self.n_range_d + self.n_samples_d
+
+    @staticmethod
+    def from_dict(cfg: dict) -> "FieldConfig":
+        """Build from a reference-style nested config dict."""
+        grid = HashGridConfig(
+            log2_hashmap_size=cfg["grid"]["hash_size"],
+            desired_resolution=256,
+        )
+        freq = FrequencyConfig(n_frequencies=cfg["pos"]["n_bins"])
+        decoder = DecoderConfig(
+            input_ch=grid.out_dim,
+            input_ch_pos=freq.out_dim + 3,
+        )
+        t = cfg["training"]
+        return FieldConfig(
+            grid=grid, freq=freq, decoder=decoder,
+            n_range_d=t["n_range_d"], range_d=t["range_d"],
+            n_samples_d=t["n_samples_d"],
+            near=cfg["cam"]["near"], far=cfg["cam"]["far"],
+            perturb=bool(t["perturb"]),
+            trunc=t["trunc"], sc_factor=cfg["data"]["sc_factor"],
+            depth_trunc=cfg["cam"]["depth_trunc"],
+            rgb_missing=t["rgb_missing"], norm_factor=t["norm_factor"],
+            use_bound_normalize=bool(cfg["grid"]["use_bound_normalize"]),
+        )
+
+
+class FieldConsts(NamedTuple):
+    """Dynamic (array) normalization constants of a submap's field.
+
+    With use_bound_normalize, bb_lo/bb_inv_extent come from the scene
+    bound; otherwise from the coords_norm_factor (localMLP_max_len), i.e.
+    x_norm = (x + nf) / (2 nf) == (x - (-nf)) * (1 / (2 nf)).
+    """
+    bb_lo: jnp.ndarray          # [3]
+    bb_inv_extent: jnp.ndarray  # [3]
+
+    @staticmethod
+    def from_bound(bound: jnp.ndarray) -> "FieldConsts":
+        lo = bound[:, 0]
+        return FieldConsts(lo, 1.0 / (bound[:, 1] - bound[:, 0]))
+
+    @staticmethod
+    def from_norm_factor(nf: jnp.ndarray) -> "FieldConsts":
+        return FieldConsts(-nf, 1.0 / (2.0 * nf))
+
+
+def init_field_params(key: jax.Array, cfg: FieldConfig) -> Dict:
+    k1, k2 = jax.random.split(key)
+    return {
+        "hash": init_hash_table(k1, cfg.grid),
+        "decoder": init_decoder_params(k2, cfg.decoder),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Queries
+# ---------------------------------------------------------------------------
+
+def query_color_sdf(params: Dict, pts_norm: jnp.ndarray,
+                    cfg: FieldConfig) -> jnp.ndarray:
+    """Decode pre-normalized points [N, 3] -> [N, 5 + n_class].
+
+    ``pts_norm`` must already be normalized to the grid domain (the
+    run_network normalization); the additional training.norm_factor
+    division (ref scene_rep.py:118-128) is applied here.
+    """
+    x = pts_norm / cfg.norm_factor
+    embed = hash_encode(params["hash"], x, cfg.grid)
+    embed_pos = frequency_encode(x, cfg.freq)
+    return decoder_apply(params["decoder"], embed, embed_pos, x, cfg.decoder)
+
+
+def normalize_coords(pts: jnp.ndarray, consts: FieldConsts) -> jnp.ndarray:
+    return (pts - consts.bb_lo) * consts.bb_inv_extent
+
+
+def run_network(params: Dict, pts: jnp.ndarray, cfg: FieldConfig,
+                consts: FieldConsts) -> jnp.ndarray:
+    """Query raw local-frame points [..., 3] -> [..., 5 + n_class]."""
+    flat = pts.reshape(-1, 3)
+    out = query_color_sdf(params, normalize_coords(flat, consts), cfg)
+    return out.reshape(pts.shape[:-1] + (out.shape[-1],))
+
+
+def query_sdf(params, pts, cfg, consts):
+    return run_network(params, pts, cfg, consts)[..., 3:4]
+
+
+def query_color(params, pts, cfg, consts):
+    return jax.nn.sigmoid(run_network(params, pts, cfg, consts)[..., :3])
+
+
+# ---------------------------------------------------------------------------
+# Rendering
+# ---------------------------------------------------------------------------
+
+def sdf2weights(sdf: jnp.ndarray, z_vals: jnp.ndarray,
+                cfg: FieldConfig) -> jnp.ndarray:
+    """SDF -> normalized compositing weights with first-crossing masking."""
+    weights = (jax.nn.sigmoid(sdf / cfg.trunc)
+               * jax.nn.sigmoid(-sdf / cfg.trunc))
+
+    signs = sdf[:, 1:] * sdf[:, :-1]
+    mask = jnp.where(signs < 0.0, 1.0, 0.0)
+    inds = jnp.argmax(mask, axis=1)[:, None]
+    z_min = jnp.take_along_axis(z_vals, inds, axis=1)  # first surface
+    mask = jnp.where(z_vals < z_min + cfg.sc_factor * cfg.trunc, 1.0, 0.0)
+
+    weights = weights * mask
+    return weights / (jnp.sum(weights, axis=-1, keepdims=True) + 1e-8)
+
+
+def raw2outputs(raw: jnp.ndarray, z_vals: jnp.ndarray, cfg: FieldConfig):
+    rgb = jax.nn.sigmoid(raw[..., :3])
+    weights = sdf2weights(raw[..., 3], z_vals, cfg)
+    rgb_map = jnp.sum(weights[..., None] * rgb, axis=-2)
+    depth_map = jnp.sum(weights * z_vals, axis=-1)
+    depth_var = jnp.sum(weights * (z_vals - depth_map[..., None]) ** 2, axis=-1)
+    disp_map = 1.0 / jnp.maximum(1e-10, depth_map / jnp.sum(weights, -1))
+    acc_map = jnp.sum(weights, -1)
+    return rgb_map, disp_map, acc_map, weights, depth_map, depth_var
+
+
+def sample_z_vals(key: jax.Array, target_d: jnp.ndarray,
+                  cfg: FieldConfig) -> jnp.ndarray:
+    """Depth-guided + uniform z sampling with stratified perturbation.
+
+    target_d: [N, 1] -> z_vals [N, n_range_d + n_samples_d].
+    """
+    n = target_d.shape[0]
+    z_near = jnp.linspace(-cfg.range_d, cfg.range_d, cfg.n_range_d)
+    z_samples = z_near[None, :] + target_d                       # [N, n_range_d]
+    z_fallback = jnp.linspace(cfg.near, cfg.far, cfg.n_range_d)
+    z_samples = jnp.where(target_d > 0.0, z_samples, z_fallback[None, :])
+
+    if cfg.n_samples_d > 0:
+        z_uniform = jnp.broadcast_to(
+            jnp.linspace(cfg.near, cfg.far, cfg.n_samples_d),
+            (n, cfg.n_samples_d))
+        z_vals = jnp.sort(jnp.concatenate([z_uniform, z_samples], axis=-1),
+                          axis=-1)
+    else:
+        z_vals = z_samples
+
+    if cfg.perturb:
+        mids = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
+        upper = jnp.concatenate([mids, z_vals[..., -1:]], axis=-1)
+        lower = jnp.concatenate([z_vals[..., :1], mids], axis=-1)
+        u = jax.random.uniform(key, z_vals.shape, dtype=z_vals.dtype)
+        z_vals = lower + (upper - lower) * u
+    return z_vals
+
+
+def render_rays(params: Dict, key: jax.Array, rays_o: jnp.ndarray,
+                rays_d: jnp.ndarray, target_d: jnp.ndarray,
+                cfg: FieldConfig, consts: FieldConsts) -> Dict:
+    z_vals = sample_z_vals(key, target_d, cfg)
+    pts = rays_o[..., None, :] + rays_d[..., None, :] * z_vals[..., :, None]
+    raw = run_network(params, pts, cfg, consts)
+    rgb_map, disp_map, acc_map, weights, depth_map, depth_var = raw2outputs(
+        raw, z_vals, cfg)
+    return {
+        "rgb": rgb_map, "depth": depth_map, "disp_map": disp_map,
+        "acc_map": acc_map, "depth_var": depth_var, "z_vals": z_vals,
+        "raw": raw,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Training forward (losses)
+# ---------------------------------------------------------------------------
+
+def forward_losses(params: Dict, key: jax.Array, rays_o: jnp.ndarray,
+                   rays_d: jnp.ndarray, target_rgb: jnp.ndarray,
+                   target_d: jnp.ndarray, cfg: FieldConfig,
+                   consts: FieldConsts, emd_w: float = 0.01) -> Dict:
+    """Render a ray batch and compute the training loss dict."""
+    rend = render_rays(params, key, rays_o, rays_d, target_d, cfg, consts)
+
+    td = target_d[..., 0]
+    valid = (td > 0.0) & (td < cfg.depth_trunc)
+    rgb_weight = jnp.where(valid[..., None], 1.0, cfg.rgb_missing)
+
+    rgb_loss = compute_loss(rend["rgb"] * rgb_weight, target_rgb * rgb_weight)
+    psnr = mse2psnr(rgb_loss)
+
+    # masked mean over valid-depth rays only (torch indexes then means)
+    nvalid = jnp.maximum(jnp.sum(valid.astype(jnp.float32)), 1.0)
+    depth_sq = (rend["depth"] - td) ** 2 * valid.astype(jnp.float32)
+    depth_loss = jnp.sum(depth_sq) / nvalid
+
+    z_vals = rend["z_vals"]
+    sdf = rend["raw"][..., 3]
+    sdf_prob = rend["raw"][..., 5:]
+    truncation = cfg.trunc * cfg.sc_factor
+    fs_loss, sdf_loss = get_sdf_loss(
+        z_vals, target_d, sdf, sdf_prob, truncation,
+        cate_num=cfg.decoder.n_class, emd_w=emd_w)
+
+    return {
+        "rgb": rend["rgb"], "depth": rend["depth"],
+        "rgb_loss": rgb_loss, "depth_loss": depth_loss,
+        "sdf_loss": sdf_loss, "fs_loss": fs_loss, "psnr": psnr,
+    }
+
+
+class LossWeights(NamedTuple):
+    rgb: float = 1.0
+    depth: float = 0.0
+    sdf: float = 1000.0
+    fs: float = 10.0
+
+    @staticmethod
+    def from_dict(cfg: dict) -> "LossWeights":
+        t = cfg["training"]
+        return LossWeights(rgb=t["rgb_weight"], depth=t["depth_weight"],
+                           sdf=t["sdf_weight"], fs=t["fs_weight"])
+
+
+def total_loss(ret: Dict, w: LossWeights) -> jnp.ndarray:
+    """Scalar objective from the loss dict (ref mipsfusion.py:142-152)."""
+    return (w.rgb * ret["rgb_loss"] + w.depth * ret["depth_loss"]
+            + w.sdf * ret["sdf_loss"] + w.fs * ret["fs_loss"])

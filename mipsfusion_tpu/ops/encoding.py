@@ -1,0 +1,155 @@
+"""Multiresolution hash-grid + frequency positional encodings (pure JAX).
+
+This replaces the reference's tiny-cuda-nn CUDA encodings
+(/root/reference/model/encodings.py:6-52) with a TPU-native design:
+
+  * The hash table is a single HBM-resident array of shape [L, T, F]
+    (uniform per-level capacity so submaps can be stacked/vmapped along a
+    leading axis). Levels whose dense grid fits in T index densely;
+    larger levels use the classic spatial XOR-prime hash.
+  * Lookup = gather + trilinear interpolation, expressed in jnp so XLA
+    fuses the interpolation weights into the surrounding computation and
+    autodiff yields the scatter-add backward into the table for free.
+
+Level scaling matches tiny-cuda-nn's growth rule:
+  scale_l = base_res * exp2(l * log2(per_level_scale)) - 1
+  res_l   = ceil(scale_l) + 1
+  pos     = x * scale_l + 0.5
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# XOR-prime spatial hash constants (Teschner et al., as used by instant-ngp)
+_PRIMES = (1, 2654435761, 805459861)
+
+
+@dataclasses.dataclass(frozen=True)
+class HashGridConfig:
+    n_levels: int = 16
+    n_features: int = 2
+    log2_hashmap_size: int = 19
+    base_resolution: int = 16
+    desired_resolution: int = 256
+
+    @property
+    def table_size(self) -> int:
+        return 1 << self.log2_hashmap_size
+
+    @property
+    def per_level_scale(self) -> float:
+        return float(
+            np.exp2(
+                np.log2(self.desired_resolution / self.base_resolution)
+                / (self.n_levels - 1)
+            )
+        )
+
+    @property
+    def out_dim(self) -> int:
+        return self.n_levels * self.n_features
+
+    def level_scales(self) -> np.ndarray:
+        l = np.arange(self.n_levels)
+        return self.base_resolution * np.exp2(l * np.log2(self.per_level_scale)) - 1.0
+
+    def level_resolutions(self) -> np.ndarray:
+        return np.ceil(self.level_scales()).astype(np.int64) + 1
+
+
+def init_hash_table(key: jax.Array, cfg: HashGridConfig,
+                    dtype=jnp.float32) -> jnp.ndarray:
+    """Uniform(-1e-4, 1e-4) init, matching tcnn's hash-grid default."""
+    return jax.random.uniform(
+        key, (cfg.n_levels, cfg.table_size, cfg.n_features),
+        minval=-1e-4, maxval=1e-4, dtype=dtype)
+
+
+# 8 corner offsets of a unit cube, shape [8, 3]
+_CORNERS = np.stack(np.meshgrid([0, 1], [0, 1], [0, 1], indexing="ij"),
+                    axis=-1).reshape(8, 3)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def hash_encode(table: jnp.ndarray, x: jnp.ndarray,
+                cfg: HashGridConfig) -> jnp.ndarray:
+    """Encode points ``x`` [N, 3] (nominally in [0,1]) -> [N, L*F].
+
+    ``table`` is [L, T, F]. Differentiable w.r.t. ``table`` (autodiff
+    produces segment-sum scatter-add into the table).
+    """
+    N = x.shape[0]
+    L, T, F = table.shape
+    scales = jnp.asarray(cfg.level_scales(), dtype=x.dtype)          # [L]
+    resolutions = jnp.asarray(cfg.level_resolutions(), jnp.int32)    # [L]
+    dense_ok = jnp.asarray(
+        cfg.level_resolutions().astype(np.int64) ** 3 <= cfg.table_size)  # [L] bool
+
+    corners = jnp.asarray(_CORNERS, jnp.int32)                        # [8, 3]
+
+    pos = x[:, None, :] * scales[None, :, None] + 0.5                 # [N, L, 3]
+    grid0 = jnp.floor(pos)
+    frac = pos - grid0                                                # [N, L, 3]
+    grid0 = grid0.astype(jnp.int32)
+
+    # corner integer coords: [N, L, 8, 3]
+    cidx = grid0[:, :, None, :] + corners[None, None, :, :]
+    res = resolutions[None, :, None, None]
+    cidx_cl = jnp.clip(cidx, 0, res - 1)
+
+    # dense index: x + y*res + z*res^2 (tcnn stride layout)
+    dense_idx = (cidx_cl[..., 0]
+                 + cidx_cl[..., 1] * resolutions[None, :, None]
+                 + cidx_cl[..., 2] * resolutions[None, :, None] ** 2)
+    # spatial hash (uint32 wraparound semantics)
+    cu = cidx.astype(jnp.uint32)
+    hashed = (cu[..., 0] * jnp.uint32(_PRIMES[0])
+              ^ cu[..., 1] * jnp.uint32(_PRIMES[1])
+              ^ cu[..., 2] * jnp.uint32(_PRIMES[2]))
+    hash_idx = (hashed & jnp.uint32(T - 1)).astype(jnp.int32)
+
+    idx = jnp.where(dense_ok[None, :, None], dense_idx % T, hash_idx)  # [N, L, 8]
+
+    # gather: flatten table to [L*T, F]; offset indices per level
+    flat = table.reshape(L * T, F)
+    level_offsets = (jnp.arange(L, dtype=jnp.int32) * T)[None, :, None]
+    feats = jnp.take(flat, (idx + level_offsets).reshape(-1), axis=0,
+                     indices_are_sorted=False, unique_indices=False)
+    feats = feats.reshape(N, L, 8, F)
+
+    # trilinear weights: corners order matches _CORNERS meshgrid (x, y, z)
+    w = jnp.where(corners[None, None, :, :] == 1, frac[:, :, None, :],
+                  1.0 - frac[:, :, None, :])                           # [N, L, 8, 3]
+    w = jnp.prod(w, axis=-1)                                           # [N, L, 8]
+
+    out = jnp.sum(feats * w[..., None], axis=2)                        # [N, L, F]
+    return out.reshape(N, L * F)
+
+
+@dataclasses.dataclass(frozen=True)
+class FrequencyConfig:
+    n_frequencies: int = 8
+    input_dim: int = 3
+
+    @property
+    def out_dim(self) -> int:
+        return self.input_dim * self.n_frequencies * 2
+
+
+def frequency_encode(x: jnp.ndarray, cfg: FrequencyConfig) -> jnp.ndarray:
+    """NeRF-style positional encoding: [sin(2^j pi x), cos(2^j pi x)].
+
+    Output layout groups by input dim then frequency (tcnn Frequency
+    layout): [N, D * n_freq * 2].
+    """
+    freqs = jnp.asarray(2.0 ** np.arange(cfg.n_frequencies), x.dtype) * jnp.pi
+    ang = x[..., :, None] * freqs[None, :]                 # [N, D, J]
+    enc = jnp.stack([jnp.sin(ang), jnp.cos(ang)], axis=-1)  # [N, D, J, 2]
+    return enc.reshape(x.shape[:-1] + (cfg.out_dim,))

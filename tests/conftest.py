@@ -1,0 +1,22 @@
+"""Test configuration: run JAX on a virtual 8-device CPU mesh.
+
+Multi-chip sharding paths are validated on virtual CPU devices
+(xla_force_host_platform_device_count); the real-TPU path is exercised by
+bench.py on hardware.
+
+Note: the environment's sitecustomize registers the TPU backend
+programmatically, which overrides the JAX_PLATFORMS env var — so we force
+the CPU platform via jax.config, which wins over the registered backend.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
