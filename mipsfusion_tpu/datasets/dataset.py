@@ -42,7 +42,8 @@ def get_dataset(config: Dict):
         from .synthetic import SyntheticDataset
         syn = config.get("synthetic", {})
         return SyntheticDataset(config, n_frames=syn.get("n_frames", 200),
-                                trajectory=syn.get("trajectory", "orbit"))
+                                trajectory=syn.get("trajectory", "orbit"),
+                                span=syn.get("span", 1.0))
     else:
         raise ValueError(f"unknown dataset '{name}'")
     return cls(config, config["data"]["datadir"],

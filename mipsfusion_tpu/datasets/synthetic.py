@@ -39,15 +39,33 @@ def _sd_sphere(p, center, r):
     return jnp.linalg.norm(p - center, axis=-1) - r
 
 
+def _sd_box_rot(p, center, half, yaw):
+    """Axis-aligned box rotated by ``yaw`` about +y (breaks the sliding
+    ambiguity that pure axis-aligned planes create for depth-only
+    tracking)."""
+    c, s = jnp.cos(yaw), jnp.sin(yaw)
+    q = p - center
+    qr = jnp.stack([c * q[..., 0] - s * q[..., 2], q[..., 1],
+                    s * q[..., 0] + c * q[..., 2]], axis=-1)
+    return _sd_box(qr, jnp.zeros(3), half)
+
+
 def scene_sdf(p: jnp.ndarray, room_half: jnp.ndarray) -> jnp.ndarray:
     """SDF of the scene: negative inside solid matter."""
     # room walls: complement of the interior box
     d_room = -_sd_box(p, jnp.zeros(3), room_half)
-    d1 = _sd_box(p, jnp.asarray([1.2, -0.8, -1.0]), jnp.asarray([0.5, 0.5, 0.5]))
-    d2 = _sd_box(p, jnp.asarray([-1.5, 0.6, 1.2]), jnp.asarray([0.4, 0.9, 0.4]))
+    d1 = _sd_box_rot(p, jnp.asarray([1.2, -0.8, -1.0]),
+                     jnp.asarray([0.5, 0.5, 0.5]), 0.6)
+    d2 = _sd_box_rot(p, jnp.asarray([-1.5, 0.6, 1.2]),
+                     jnp.asarray([0.4, 0.9, 0.4]), -0.8)
     d3 = _sd_sphere(p, jnp.asarray([0.3, 1.0, 0.8]), 0.55)
-    d4 = _sd_box(p, jnp.asarray([-0.2, -1.4, 0.2]), jnp.asarray([0.9, 0.25, 0.6]))
-    return jnp.minimum(jnp.minimum(d_room, d1), jnp.minimum(jnp.minimum(d2, d3), d4))
+    d4 = _sd_box_rot(p, jnp.asarray([-0.2, -1.4, 0.2]),
+                     jnp.asarray([0.9, 0.25, 0.6]), 0.35)
+    d5 = _sd_sphere(p, jnp.asarray([-1.8, -1.2, -1.4]), 0.5)
+    d6 = _sd_box_rot(p, jnp.asarray([1.8, 1.2, 1.5]),
+                     jnp.asarray([0.45, 0.6, 0.3]), -0.4)
+    d = jnp.minimum(jnp.minimum(d_room, d1), jnp.minimum(d2, d3))
+    return jnp.minimum(jnp.minimum(d, d4), jnp.minimum(d5, d6))
 
 
 def scene_albedo(p: jnp.ndarray) -> jnp.ndarray:
@@ -81,7 +99,11 @@ class SyntheticDataset:
     """Map-style dataset mirroring the reference's per-frame dict contract."""
 
     def __init__(self, cfg: Dict, n_frames: int = 200,
-                 trajectory: str = "orbit", seed: int = 0):
+                 trajectory: str = "orbit", seed: int = 0,
+                 span: float = 1.0):
+        # span < 1 covers only the first fraction of the trajectory,
+        # keeping per-frame motion realistic for short test sequences
+        self.span = span
         cam = cfg["cam"]
         ds = cfg["data"].get("downsample", 1)
         self.H, self.W = cam["H"] // ds, cam["W"] // ds
@@ -100,7 +122,7 @@ class SyntheticDataset:
 
     # -- camera trajectory --------------------------------------------------
     def _pose(self, i: int, trajectory: str) -> np.ndarray:
-        t = i / max(self.num_frames - 1, 1)
+        t = self.span * i / max(self.num_frames - 1, 1)
         if trajectory == "orbit":
             # slow yaw sweep from near the room center
             ang = 0.9 * np.sin(2 * np.pi * t)

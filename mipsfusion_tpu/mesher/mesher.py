@@ -1,0 +1,219 @@
+"""Mesh extraction: per-submap and joint (entropy/distance-fused) meshes.
+
+TPU-native counterpart of the reference Mesher
+(/root/reference/model/Mesher.py:288-669 + vis/math_helper.py:60-96):
+
+  * per-submap: uniform grid over the submap AABB (intersected with the
+    marching-cubes bound), batched SDF queries on device (one jitted
+    chunked query), native marching-tetrahedra triangulation with
+    truncation-aware invalid rejection on host, per-vertex color query;
+  * joint: union grid over all submap AABBs; per-submap TSDF + class
+    entropy queried per grid point; fused SDF = sum_i w_i * sdf_i with
+    w_i = normalize(exp(-10 * entropy_i) * gauss(dist-to-submap-center))
+    masked by per-submap AABB visibility (ref compute_weights
+    math_helper.py:79-96, convert_dist_to_weight :66-72);
+  * visibility filtering: grid points outside every submap AABB are
+    marked invalid so the extractor skips them (the reference's
+    VoxelGrid-based visibility culling serves the same purpose).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import scene_rep as sr
+from .marching import marching_cubes
+
+
+@dataclasses.dataclass
+class MeshConfig:
+    voxel_size: float = 0.05
+    query_chunk: int = 131072
+    iso: float = 0.0
+
+
+def _grid_points(lo: np.ndarray, hi: np.ndarray, voxel: float):
+    xs = np.arange(lo[0], hi[0] + voxel, voxel, dtype=np.float32)
+    ys = np.arange(lo[1], hi[1] + voxel, voxel, dtype=np.float32)
+    zs = np.arange(lo[2], hi[2] + voxel, voxel, dtype=np.float32)
+    gx, gy, gz = np.meshgrid(xs, ys, zs, indexing="ij")
+    pts = np.stack([gx, gy, gz], axis=-1).reshape(-1, 3)
+    return pts, (len(xs), len(ys), len(zs)), (xs, ys, zs)
+
+
+class Mesher:
+    def __init__(self, fcfg: sr.FieldConfig, consts: sr.FieldConsts,
+                 mesh_cfg: MeshConfig = MeshConfig()):
+        self.fcfg = fcfg
+        self.consts = consts
+        self.cfg = mesh_cfg
+
+        @jax.jit
+        def _query(params, pts):
+            out = sr.run_network(params, pts, fcfg, consts)
+            # rgb(3) sdf(1) entropy(1)
+            return out[..., :5]
+
+        self._query = _query
+
+    def query_grid(self, params: Dict, pts_local: np.ndarray) -> np.ndarray:
+        """Chunked device query -> [N, 5] (rgb, sdf, entropy)."""
+        n = pts_local.shape[0]
+        chunk = self.cfg.query_chunk
+        outs = []
+        for s in range(0, n, chunk):
+            seg = jnp.asarray(pts_local[s:s + chunk])
+            outs.append(np.asarray(self._query(params, seg)))
+        return np.concatenate(outs, axis=0)
+
+    # ------------------------------------------------------------------
+    # per-submap mesh (ref Mesher.extract_single_mesh :288-402)
+    # ------------------------------------------------------------------
+
+    def extract_single_mesh(self, params: Dict, anchor_world: np.ndarray,
+                            center_world: np.ndarray, length: np.ndarray,
+                            trunc: float = 0.3, with_color: bool = True,
+                            bound_world: Optional[np.ndarray] = None):
+        """Mesh one submap. The AABB (center, length) is in world coords;
+        grid points are converted to the submap's local frame for SDF
+        queries (ref :332-344), and vertices are returned in world coords.
+        """
+        lo = center_world - 0.5 * length
+        hi = center_world + 0.5 * length
+        if bound_world is not None:
+            lo = np.maximum(lo, bound_world[:, 0])
+            hi = np.minimum(hi, bound_world[:, 1])
+        pts_w, shape, axes = _grid_points(lo, hi, self.cfg.voxel_size)
+
+        w2l = np.linalg.inv(anchor_world)
+        pts_l = pts_w @ w2l[:3, :3].T + w2l[:3, 3]
+        raw = self.query_grid(params, pts_l.astype(np.float32))
+        sdf = raw[:, 3].reshape(shape)
+
+        verts_g, faces = marching_cubes(sdf, self.cfg.iso, trunc)
+        if len(verts_g) == 0:
+            return (np.zeros((0, 3)), np.zeros((0, 3), np.int64),
+                    np.zeros((0, 3)))
+        verts_w = lo[None, :] + verts_g * self.cfg.voxel_size
+
+        colors = np.zeros_like(verts_w)
+        if with_color:
+            v_l = verts_w @ w2l[:3, :3].T + w2l[:3, 3]
+            raw_v = self.query_grid(params, v_l.astype(np.float32))
+            colors = 1.0 / (1.0 + np.exp(-raw_v[:, :3]))  # sigmoid
+        return verts_w, faces, colors
+
+    # ------------------------------------------------------------------
+    # joint mesh (ref extract_mesh_jointly_geometry :418-581)
+    # ------------------------------------------------------------------
+
+    def extract_mesh_jointly(self, submap_params: List[Dict],
+                             anchors_world: np.ndarray,
+                             centers: np.ndarray, lengths: np.ndarray,
+                             trunc: float = 0.3, with_color: bool = True,
+                             bound_world: Optional[np.ndarray] = None):
+        """Fuse all submaps' SDFs into one mesh.
+
+        anchors_world [M,4,4]; centers/lengths [M,3] world AABBs.
+        """
+        M = len(submap_params)
+        lo = np.min(centers - 0.5 * lengths, axis=0)
+        hi = np.max(centers + 0.5 * lengths, axis=0)
+        if bound_world is not None:
+            lo = np.maximum(lo, bound_world[:, 0])
+            hi = np.minimum(hi, bound_world[:, 1])
+        pts_w, shape, axes = _grid_points(lo, hi, self.cfg.voxel_size)
+        n = pts_w.shape[0]
+
+        sdf_all = np.zeros((n, M), np.float32)
+        ent_all = np.zeros((n, M), np.float32)
+        rgb_all = np.zeros((n, M, 3), np.float32)
+        mask_all = np.zeros((n, M), bool)
+        dist_all = np.zeros((n, M), np.float32)
+
+        for m in range(M):
+            w2l = np.linalg.inv(anchors_world[m])
+            pts_l = pts_w @ w2l[:3, :3].T + w2l[:3, 3]
+            raw = self.query_grid(submap_params[m],
+                                  pts_l.astype(np.float32))
+            sdf_all[:, m] = raw[:, 3]
+            ent_all[:, m] = raw[:, 4]
+            rgb_all[:, m] = raw[:, :3]
+            inlo = centers[m] - 0.5 * lengths[m]
+            inhi = centers[m] + 0.5 * lengths[m]
+            mask_all[:, m] = ((pts_w > inlo) & (pts_w < inhi)).all(-1)
+            dist_all[:, m] = np.linalg.norm(pts_w - centers[m], axis=-1)
+
+        # Gaussian distance weights (ref convert_dist_to_weight :66-72)
+        max_d = np.maximum(dist_all.max(), 1e-6)
+        sigma = max_d / 3.0
+        gauss = np.exp(-0.5 * (dist_all / sigma) ** 2)
+
+        # entropy-inverse weights (ref compute_weights :79-96)
+        w = np.exp(-10.0 * ent_all) * gauss * mask_all
+        wsum = w.sum(axis=1, keepdims=True)
+        visible = mask_all.any(axis=1)
+        w = np.where(wsum > 1e-12, w / np.maximum(wsum, 1e-12), 0.0)
+
+        fused = (w * sdf_all).sum(axis=1)
+        fused = np.where(visible, fused, np.inf)  # invalid -> skipped
+        sdf_grid = fused.reshape(shape).astype(np.float32)
+
+        verts_g, faces = marching_cubes(sdf_grid, self.cfg.iso, trunc)
+        if len(verts_g) == 0:
+            return (np.zeros((0, 3)), np.zeros((0, 3), np.int64),
+                    np.zeros((0, 3)))
+        verts_w = lo[None, :] + verts_g * self.cfg.voxel_size
+
+        colors = np.zeros_like(verts_w)
+        if with_color:
+            # per-vertex fused color with the same weighting scheme
+            # (ref extract_mesh_jointly_color :590-669)
+            nv = verts_w.shape[0]
+            rgb_v = np.zeros((nv, M, 3), np.float32)
+            wv = np.zeros((nv, M), np.float32)
+            for m in range(M):
+                w2l = np.linalg.inv(anchors_world[m])
+                v_l = verts_w @ w2l[:3, :3].T + w2l[:3, 3]
+                raw = self.query_grid(submap_params[m],
+                                      v_l.astype(np.float32))
+                rgb_v[:, m] = 1.0 / (1.0 + np.exp(-raw[:, :3]))
+                d = np.linalg.norm(verts_w - centers[m], axis=-1)
+                inlo = centers[m] - 0.5 * lengths[m]
+                inhi = centers[m] + 0.5 * lengths[m]
+                msk = ((verts_w > inlo) & (verts_w < inhi)).all(-1)
+                wv[:, m] = np.exp(-10.0 * raw[:, 4]) * np.exp(
+                    -0.5 * (d / sigma) ** 2) * msk
+            wvs = wv.sum(axis=1, keepdims=True)
+            wv = np.where(wvs > 1e-12, wv / np.maximum(wvs, 1e-12),
+                          1.0 / M)
+            colors = (wv[..., None] * rgb_v).sum(axis=1)
+        return verts_w, faces, colors
+
+
+def save_mesh_ply(path: str, verts: np.ndarray, faces: np.ndarray,
+                  colors: Optional[np.ndarray] = None) -> None:
+    """Minimal binary-less PLY writer (no trimesh dependency)."""
+    with open(path, "w") as f:
+        f.write("ply\nformat ascii 1.0\n")
+        f.write(f"element vertex {len(verts)}\n")
+        f.write("property float x\nproperty float y\nproperty float z\n")
+        if colors is not None and len(colors) == len(verts):
+            f.write("property uchar red\nproperty uchar green\n"
+                    "property uchar blue\n")
+        f.write(f"element face {len(faces)}\n")
+        f.write("property list uchar int vertex_indices\nend_header\n")
+        if colors is not None and len(colors) == len(verts):
+            c8 = np.clip(colors * 255, 0, 255).astype(np.uint8)
+            for v, c in zip(verts, c8):
+                f.write(f"{v[0]} {v[1]} {v[2]} {c[0]} {c[1]} {c[2]}\n")
+        else:
+            for v in verts:
+                f.write(f"{v[0]} {v[1]} {v[2]}\n")
+        for tri in faces:
+            f.write(f"3 {tri[0]} {tri[1]} {tri[2]}\n")

@@ -28,16 +28,26 @@ from typing import Dict, NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..ops.encoding import (FrequencyConfig, HashGridConfig, frequency_encode,
-                            hash_encode, init_hash_table)
+from ..ops.encoding import (FrequencyConfig, HashGridConfig, TriplaneConfig,
+                            frequency_encode, hash_encode, init_hash_table,
+                            init_triplane, triplane_encode)
 from ..ops.losses import compute_loss, get_sdf_loss, mse2psnr
 from .decoder import DecoderConfig, decoder_apply, init_decoder_params
 
 
 @dataclasses.dataclass(frozen=True)
 class FieldConfig:
-    """Static (hashable) configuration of the per-submap field + renderer."""
+    """Static (hashable) configuration of the per-submap field + renderer.
+
+    ``enc`` selects the spatial encoding: "HashGrid" (reference-parity
+    gather-based grid; fine on CPU, slow on TPU) or "Triplane" (the
+    TPU-native matmul-based factorized encoding — see
+    ops/encoding.py TriplaneConfig rationale).
+    """
+    enc: str = "HashGrid"
+    use_pallas: bool = False     # Triplane via Pallas kernels (TPU only)
     grid: HashGridConfig = HashGridConfig()
+    tri: TriplaneConfig = TriplaneConfig()
     freq: FrequencyConfig = FrequencyConfig()
     decoder: DecoderConfig = DecoderConfig()
     # z sampling
@@ -62,18 +72,25 @@ class FieldConfig:
     @staticmethod
     def from_dict(cfg: dict) -> "FieldConfig":
         """Build from a reference-style nested config dict."""
+        enc = cfg["grid"].get("enc", "HashGrid")
         grid = HashGridConfig(
             log2_hashmap_size=cfg["grid"]["hash_size"],
             desired_resolution=256,
         )
+        tri = TriplaneConfig(
+            resolutions=tuple(cfg["grid"].get(
+                "tri_resolutions", (32, 64, 128, 256))),
+            n_features=cfg["grid"].get("tri_features", 4),
+        )
         freq = FrequencyConfig(n_frequencies=cfg["pos"]["n_bins"])
         decoder = DecoderConfig(
-            input_ch=grid.out_dim,
+            input_ch=tri.out_dim if enc == "Triplane" else grid.out_dim,
             input_ch_pos=freq.out_dim + 3,
         )
         t = cfg["training"]
         return FieldConfig(
-            grid=grid, freq=freq, decoder=decoder,
+            enc=enc, use_pallas=bool(cfg["grid"].get("use_pallas", False)),
+            grid=grid, tri=tri, freq=freq, decoder=decoder,
             n_range_d=t["n_range_d"], range_d=t["range_d"],
             n_samples_d=t["n_samples_d"],
             near=cfg["cam"]["near"], far=cfg["cam"]["far"],
@@ -107,10 +124,11 @@ class FieldConsts(NamedTuple):
 
 def init_field_params(key: jax.Array, cfg: FieldConfig) -> Dict:
     k1, k2 = jax.random.split(key)
-    return {
-        "hash": init_hash_table(k1, cfg.grid),
-        "decoder": init_decoder_params(k2, cfg.decoder),
-    }
+    if cfg.enc == "Triplane":
+        enc_params = {"planes": init_triplane(k1, cfg.tri)}
+    else:
+        enc_params = {"hash": init_hash_table(k1, cfg.grid)}
+    return {**enc_params, "decoder": init_decoder_params(k2, cfg.decoder)}
 
 
 # ---------------------------------------------------------------------------
@@ -126,7 +144,15 @@ def query_color_sdf(params: Dict, pts_norm: jnp.ndarray,
     division (ref scene_rep.py:118-128) is applied here.
     """
     x = pts_norm / cfg.norm_factor
-    embed = hash_encode(params["hash"], x, cfg.grid)
+    if cfg.enc == "Triplane":
+        if cfg.use_pallas:
+            from ..ops.triplane_pallas import triplane_encode_pallas
+            embed = triplane_encode_pallas(params["planes"], x,
+                                           cfg.tri.resolutions)
+        else:
+            embed = triplane_encode(params["planes"], x, cfg.tri)
+    else:
+        embed = hash_encode(params["hash"], x, cfg.grid)
     embed_pos = frequency_encode(x, cfg.freq)
     return decoder_apply(params["decoder"], embed, embed_pos, x, cfg.decoder)
 

@@ -153,3 +153,104 @@ def frequency_encode(x: jnp.ndarray, cfg: FrequencyConfig) -> jnp.ndarray:
     ang = x[..., :, None] * freqs[None, :]                 # [N, D, J]
     enc = jnp.stack([jnp.sin(ang), jnp.cos(ang)], axis=-1)  # [N, D, J, 2]
     return enc.reshape(x.shape[:-1] + (cfg.out_dim,))
+
+
+# ---------------------------------------------------------------------------
+# Triplane (TensoRF-style) multiscale encoding — the TPU-native fast path
+# ---------------------------------------------------------------------------
+#
+# Rationale (measured on TPU v5e): XLA lowers per-point table gathers and
+# scatter-adds to ~serial loops (19.6M gathers ~ 146 ms, scatter-add
+# ~ 1.2 s), so an instant-ngp hash grid — built around cheap GPU random
+# access + atomics — cannot be fast on TPU. The TPU-native equivalent
+# factorizes each scale into three axis-aligned feature planes; bilinear
+# interpolation becomes two MXU matmuls against 2-sparse one-hot interp
+# matrices, and the backward into the planes is the transposed matmul —
+# no gather, no scatter, pure MXU. Replaces tiny-cuda-nn's role
+# (/root/reference/model/encodings.py:13-25) with equal spatial
+# resolution (finest plane == tcnn desired_resolution 256).
+
+@dataclasses.dataclass(frozen=True)
+class TriplaneConfig:
+    resolutions: Tuple[int, ...] = (32, 64, 128, 256)
+    n_features: int = 4          # features per plane per scale
+
+    @property
+    def out_dim(self) -> int:
+        # concat over scales; the 3 planes of a scale are summed
+        # (TensoRF-VM style), keeping out_dim compact
+        return len(self.resolutions) * self.n_features
+
+
+def init_triplane(key: jax.Array, cfg: TriplaneConfig,
+                  dtype=jnp.float32) -> dict:
+    """Planes dict {"s<i>": [3, R, R, F]} with U(-1e-4, 1e-4) init
+    (same init scale as the hash table it replaces)."""
+    keys = jax.random.split(key, len(cfg.resolutions))
+    return {
+        f"s{i}": jax.random.uniform(
+            keys[i], (3, R, R, cfg.n_features),
+            minval=-1e-4, maxval=1e-4, dtype=dtype)
+        for i, R in enumerate(cfg.resolutions)
+    }
+
+
+def _interp_matrix(u: jnp.ndarray, R: int) -> jnp.ndarray:
+    """1D linear-interp weights as a 2-sparse one-hot matrix [N, R].
+
+    u in [0,1]; rows have weight (1-w) at floor and w at floor+1.
+    Built with broadcast compares (VPU) so the downstream contraction is
+    a dense MXU matmul.
+    """
+    pu = jnp.clip(u * (R - 1), 0.0, R - 1 - 1e-6)
+    i0 = jnp.floor(pu)
+    w = (pu - i0)[:, None]
+    iota = jax.lax.broadcasted_iota(jnp.float32, (1, R), 1)
+    d0 = (iota == i0[:, None]).astype(u.dtype)
+    d1 = (iota == (i0[:, None] + 1.0)).astype(u.dtype)
+    return d0 * (1.0 - w) + d1 * w
+
+
+def _plane_lookup(plane: jnp.ndarray, u: jnp.ndarray,
+                  v: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear interp on one plane [R, R, F] at N (u, v) -> [N, F].
+
+    out[n] = Wu[n] @ plane @ Wv[n]^T, evaluated as one [N,R]x[R,R*F]
+    matmul plus a weighted reduction — MXU-native in both directions.
+    """
+    R, _, F = plane.shape
+    Wu = _interp_matrix(u, R)                       # [N, R]
+    Wv = _interp_matrix(v, R)                       # [N, R]
+    A = jnp.matmul(Wu, plane.reshape(R, R * F),
+                   preferred_element_type=jnp.float32)  # [N, R*F]
+    A = A.reshape(-1, R, F)
+    return jnp.sum(A * Wv[:, :, None], axis=1)      # [N, F]
+
+
+def _triplane_chunk(planes: dict, x: jnp.ndarray,
+                    cfg: TriplaneConfig) -> jnp.ndarray:
+    feats = []
+    for i, R in enumerate(cfg.resolutions):
+        p = planes[f"s{i}"]                          # [3, R, R, F]
+        f_xy = _plane_lookup(p[0], x[:, 0], x[:, 1])
+        f_xz = _plane_lookup(p[1], x[:, 0], x[:, 2])
+        f_yz = _plane_lookup(p[2], x[:, 1], x[:, 2])
+        feats.append(f_xy + f_xz + f_yz)
+    return jnp.concatenate(feats, axis=-1)
+
+
+def triplane_encode(planes: dict, x: jnp.ndarray, cfg: TriplaneConfig,
+                    chunk: int = 16384) -> jnp.ndarray:
+    """Encode points x [N, 3] in [0,1]^3 -> [N, out_dim].
+
+    Chunked over N to bound the [chunk, R, F] intermediate in VMEM/HBM;
+    differentiable w.r.t. planes with matmul-only backward.
+    """
+    N = x.shape[0]
+    if N <= chunk:
+        return _triplane_chunk(planes, x, cfg)
+    pad = (-N) % chunk
+    xp = jnp.pad(x, ((0, pad), (0, 0)))
+    xc = xp.reshape(-1, chunk, 3)
+    out = jax.lax.map(lambda xx: _triplane_chunk(planes, xx, cfg), xc)
+    return out.reshape(-1, cfg.out_dim)[:N]

@@ -142,19 +142,26 @@ def se3_log(T: jnp.ndarray) -> jnp.ndarray:
         axis=-1,
     )
     cos_theta = jnp.clip((jnp.trace(R, axis1=-2, axis2=-1) - 1.0) / 2.0, -1.0, 1.0)
-    # atan2 form is well-conditioned everywhere except theta ~ pi
-    sin_theta = 0.5 * jnp.linalg.norm(w_hat, axis=-1)
+    # atan2 form is well-conditioned everywhere except theta ~ pi.
+    # All divisions below substitute safe denominators in the untaken
+    # where-branch so autodiff (jacfwd through the PGO residual) never
+    # sees 0/0.
+    w2 = jnp.sum(w_hat * w_hat, axis=-1)
+    small = w2 < 1e-10
+    sin_theta = 0.5 * jnp.sqrt(jnp.where(small, 1.0, w2))
+    sin_theta = jnp.where(small, 0.0, sin_theta)
     theta = jnp.arctan2(sin_theta, cos_theta)
-    small = theta < 1e-5
-    scale = jnp.where(small, 0.5 + theta**2 / 12.0, theta / (2.0 * jnp.maximum(sin_theta, 1e-12)))
+    sin_safe = jnp.where(small, 1.0, sin_theta)
+    scale = jnp.where(small, 0.5 + theta**2 / 12.0, theta / (2.0 * sin_safe))
     phi = w_hat * scale[..., None]
 
     # V^{-1} t
     wx = _skew(phi)
     theta2 = jnp.sum(phi * phi, axis=-1)
-    theta_ = jnp.sqrt(jnp.maximum(theta2, 1e-24))
+    theta2_safe = jnp.where(small, 1.0, theta2)
+    theta_ = jnp.sqrt(theta2_safe)
     A = jnp.where(small, 1.0 / 12.0 + theta2 / 720.0,
-                  (1.0 - (theta_ * jnp.cos(theta_ / 2.0)) / (2.0 * jnp.sin(theta_ / 2.0) + 1e-12)) / jnp.maximum(theta2, 1e-24))
+                  (1.0 - (theta_ * jnp.cos(theta_ / 2.0)) / (2.0 * jnp.sin(theta_ / 2.0))) / theta2_safe)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=T.dtype), wx.shape)
     V_inv = eye - 0.5 * wx + A[..., None, None] * _mm(wx, wx)
     rho = _mm(V_inv, t[..., None])[..., 0]
@@ -165,14 +172,17 @@ def se3_exp(xi: jnp.ndarray) -> jnp.ndarray:
     """SE(3) exp map from twist [..., 6] (rho, phi) -> [..., 4, 4]."""
     rho, phi = xi[..., :3], xi[..., 3:]
     theta2 = jnp.sum(phi * phi, axis=-1)
-    theta = jnp.sqrt(jnp.maximum(theta2, 1e-24))
-    small = theta < 1e-5
+    small = theta2 < 1e-10
+    # safe-where: substitute 1 in the untaken branch so autodiff never
+    # divides by ~0 (0/0 grads poison jacfwd-based solvers)
+    theta2_safe = jnp.where(small, 1.0, theta2)
+    theta = jnp.sqrt(theta2_safe)
     wx = _skew(phi)
     # exact identity avoids a (bf16-on-TPU) matmul: wx^2 = phi phi^T - theta^2 I
     wx2 = phi[..., :, None] * phi[..., None, :] - theta2[..., None, None] * jnp.broadcast_to(jnp.eye(3, dtype=xi.dtype), wx.shape)
     A = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
-    B = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / jnp.maximum(theta2, 1e-24))
-    C = jnp.where(small, 1.0 / 6.0 - theta2 / 120.0, (1.0 - A) / jnp.maximum(theta2, 1e-24))
+    B = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2_safe)
+    C = jnp.where(small, 1.0 / 6.0 - theta2 / 120.0, (1.0 - A) / theta2_safe)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=xi.dtype), wx.shape)
     R = eye + A[..., None, None] * wx + B[..., None, None] * wx2
     V = eye + B[..., None, None] * wx + C[..., None, None] * wx2

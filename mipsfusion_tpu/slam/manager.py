@@ -1,0 +1,462 @@
+"""Submap manager: allocation, expansion, binding, and switch decisions.
+
+TPU-native re-expression of the reference Manager
+(/root/reference/Manager.py:10-728). The decision engine runs at
+keyframe cadence (every `keyframe_every` frames) so it is host-side
+control flow; the geometric predicates (containing ratios, frustum
+bboxes, point-in-bbox scoring) are small jitted jnp computations.
+
+The five-way case analysis of process_keyframe_normal (ref :373-490):
+  case 1: active submap already contains the keyframe's surface
+          (cr_active >= min_containing_ratio) -> bind (msg1 if also
+          overlapping another submap, else msg2);
+  case 2: same after axis-wise AABB expansion (expand rule :614-717);
+  case 3: most-overlapping == active and still not contained -> new
+          submap (msg3);
+  case 4: different MO submap but cr_mo < min_containing_ratio_back ->
+          new submap (msg3);
+  case 5: camera re-entered a previous submap's range -> verify
+          overlapping region; switch back (msg1 w/ switch) or create a
+          new submap and enter the wait-loop state.
+Plus the double-binding counter (>= 4 consecutive same-pair bindings
+forces a switch attempt, ref :63-85) and the wait-loop re-check
+(ref :494-518).
+
+Returned flags match the reference contract (ref :361-364):
+  1 = keyframe bound to 2 submaps, active switched to a previous submap;
+  2 = keyframe bound, active unchanged;
+  3 = new submap created and switched to.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.geometry import (get_frame_surface_bbox, pose_inverse,
+                            pts_in_bbox, rays_to_world)
+from . import state as slam_state
+from .state import SlamState
+
+
+@dataclasses.dataclass
+class ManagerConfig:
+    min_containing_ratio: float = 0.7
+    min_containing_ratio_mo: float = 0.6
+    min_containing_ratio_back: float = 0.5
+    min_cr_localMLP_len: Tuple[float, ...] = (5.0, 5.0, 5.0)
+    localMLP_max_len: Tuple[float, ...] = (7.0, 7.0, 7.0)
+    localMLP_max_len_back: Tuple[float, ...] = (7.0, 7.0, 7.0)
+    near: float = 0.0
+    far: float = 5.0
+    thres_db_time: int = 4
+    ovlp_rays_h: int = 40
+    ovlp_rays_w: int = 40
+    min_ovlp_pts: int = 200
+
+    @staticmethod
+    def from_dict(cfg: dict) -> "ManagerConfig":
+        m = cfg["mapping"]
+        ov = m.get("overlapping", {})
+        return ManagerConfig(
+            min_containing_ratio=m.get("min_containing_ratio", 0.7),
+            min_containing_ratio_mo=m.get("min_containing_ratio_mo", 0.6),
+            min_containing_ratio_back=m.get("min_containing_ratio_back", 0.5),
+            min_cr_localMLP_len=tuple(m.get("min_cr_localMLP_len",
+                                            (5.0, 5.0, 5.0))),
+            localMLP_max_len=tuple(m["localMLP_max_len"]),
+            localMLP_max_len_back=tuple(m.get("localMLP_max_len_back",
+                                              m["localMLP_max_len"])),
+            near=cfg["cam"]["near"], far=cfg["cam"]["far"],
+            ovlp_rays_h=ov.get("n_rays_h", 40),
+            ovlp_rays_w=ov.get("n_rays_w", 40),
+            min_ovlp_pts=ov.get("min_pts", 200),
+        )
+
+
+# ---------------------------------------------------------------------------
+# geometric predicates (jnp, jit-friendly)
+# ---------------------------------------------------------------------------
+
+def containing_ratio(depth_img: jnp.ndarray, rays_d_img: jnp.ndarray,
+                     pose_world: jnp.ndarray, center: jnp.ndarray,
+                     length: jnp.ndarray, min_len: jnp.ndarray,
+                     rows: jnp.ndarray, cols: jnp.ndarray) -> jnp.ndarray:
+    """Fraction of sampled valid-depth surface points inside the AABB
+    (ref Manager.compute_containing_ratio :204-244; the AABB length is
+    floored at min_cr_localMLP_len)."""
+    d = depth_img[rows, cols][:, None]
+    dirs = rays_d_img[rows, cols]
+    rays_o, rays_d = rays_to_world(dirs, pose_world)
+    pts = rays_o + rays_d * d
+    length = jnp.maximum(length, min_len)
+    lo, hi = center - 0.5 * length, center + 0.5 * length
+    inside = pts_in_bbox(pts, lo[None], hi[None])[:, 0]
+    valid = d[:, 0] > 0.0
+    n_valid = jnp.maximum(jnp.sum(valid), 1)
+    return jnp.sum(inside & valid) / n_valid
+
+
+def bbox_hit_scores(depth_img: jnp.ndarray, rays_d_img: jnp.ndarray,
+                    pose_world: jnp.ndarray, centers: jnp.ndarray,
+                    lengths: jnp.ndarray, rows: jnp.ndarray,
+                    cols: jnp.ndarray) -> jnp.ndarray:
+    """Per-submap count of sampled surface points inside each AABB
+    (ref find_highest_containing_ratio :159-196)."""
+    d = depth_img[rows, cols][:, None]
+    dirs = rays_d_img[rows, cols]
+    rays_o, rays_d = rays_to_world(dirs, pose_world)
+    pts = rays_o + rays_d * d
+    lo = centers - 0.5 * lengths
+    hi = centers + 0.5 * lengths
+    inside = pts_in_bbox(pts, lo, hi)          # [N, M]
+    return jnp.sum(inside, axis=0)
+
+
+def expand_rule(center: np.ndarray, length: np.ndarray,
+                kf_center: np.ndarray, kf_len: np.ndarray,
+                max_len: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Axis-wise AABB expansion with per-axis max clamp.
+
+    Vectorized re-derivation of the reference's per-axis triplicated
+    logic (ref Manager.localMLP_expand_rule :614-717): grow the AABB to
+    cover the keyframe surface bbox; if the union exceeds max_len on an
+    axis, distribute the allowed growth proportionally to the required
+    positive/negative expansion; axes already at max_len stay put.
+    """
+    center, length = np.asarray(center, np.float64), np.asarray(length, np.float64)
+    kf_min = np.asarray(kf_center) - 0.5 * np.asarray(kf_len)
+    kf_max = np.asarray(kf_center) + 0.5 * np.asarray(kf_len)
+    lo, hi = center - 0.5 * length, center + 0.5 * length
+    max_len = np.asarray(max_len, np.float64)
+
+    if (kf_min >= lo).all() and (kf_max <= hi).all():
+        return center.astype(np.float32), length.astype(np.float32)
+
+    u_lo, u_hi = np.minimum(kf_min, lo), np.maximum(kf_max, hi)
+    new_lo, new_hi = lo.copy(), hi.copy()
+
+    for a in range(3):
+        if length[a] >= max_len[a]:
+            continue  # cannot expand this axis
+        if u_hi[a] - u_lo[a] <= max_len[a]:
+            new_lo[a], new_hi[a] = u_lo[a], u_hi[a]
+            continue
+        pos_need = abs(u_hi[a] - hi[a])
+        neg_need = abs(lo[a] - u_lo[a])
+        budget = max_len[a] - length[a]
+        if pos_need == 0.0 or neg_need == 0.0:
+            # single-direction growth up to the budget (ref case 2)
+            if pos_need > 0:
+                new_hi[a] = hi[a] + budget
+            else:
+                new_lo[a] = lo[a] - budget
+        else:  # both directions, proportional (ref case 3)
+            new_hi[a] = hi[a] + budget * pos_need / (pos_need + neg_need)
+            new_lo[a] = lo[a] - budget * neg_need / (pos_need + neg_need)
+
+    new_len = new_hi - new_lo
+    new_center = new_lo + 0.5 * new_len
+    return new_center.astype(np.float32), new_len.astype(np.float32)
+
+
+def uniform_grid(H: int, W: int, n_rows: int, n_cols: int):
+    rows = jnp.linspace(0, H - 1, n_rows).astype(jnp.int32)
+    cols = jnp.linspace(0, W - 1, n_cols).astype(jnp.int32)
+    rr, cc = jnp.meshgrid(rows, cols, indexing="ij")
+    return rr.reshape(-1), cc.reshape(-1)
+
+
+# ---------------------------------------------------------------------------
+# Manager
+# ---------------------------------------------------------------------------
+
+class Manager:
+    """Host-side per-keyframe decision engine over device state."""
+
+    def __init__(self, cfg: ManagerConfig, H: int, W: int,
+                 keyframe_every: int):
+        self.cfg = cfg
+        self.keyframe_every = keyframe_every
+        # coarse grid for containing ratios (ref uses 150x200)
+        self.cr_rows, self.cr_cols = uniform_grid(H, W, min(H, 150),
+                                                  min(W, 200))
+        # loop/double-binding state (ref create_loop_vars :30-38)
+        self.double_binding_counter = 0
+        self.db_active_id = -1
+        self.db_mo_id = -1
+        self.wait_loop = False
+        self.localMLP_Id_wait = -1
+        self.localMLP_Id_actual = -1
+        # overlap-region buffers filled on a successful switch trigger
+        self.ovlp_data: Optional[Dict] = None
+        # hook installed by the system for overlap verification (phase:
+        # loop closure); returns (ok, data) given candidate submaps
+        self.find_overlap_fn = None
+
+    # -- helpers ----------------------------------------------------------
+
+    def _cr(self, st: SlamState, depth, rays_d, pose_world, submap_id,
+            center=None, length=None) -> float:
+        info = np.asarray(st.localMLP_info[submap_id])
+        c = jnp.asarray(info[1:4] if center is None else center)
+        ln = jnp.asarray(info[4:7] if length is None else length)
+        min_len = jnp.asarray(self.cfg.min_cr_localMLP_len) \
+            if length is None else ln  # explicit length skips the floor
+        return float(containing_ratio(depth, rays_d, pose_world, c, ln,
+                                      min_len, self.cr_rows, self.cr_cols))
+
+    def _nearest_exclude(self, st: SlamState, active_id: int,
+                         frustum_center: np.ndarray, k: int = 3) -> np.ndarray:
+        """Top-k used submaps nearest by center, excluding the active one
+        (ref find_nearest_localMLP_topK_exclude :135-149)."""
+        info = np.asarray(st.localMLP_info)
+        used = int(info[:, 0].sum())
+        if used - 1 <= 0:
+            return np.arange(used)
+        ids = np.arange(used)
+        if used - 1 <= k:
+            return ids[ids != active_id]
+        dists = np.linalg.norm(info[:used, 1:4] - frustum_center, axis=-1)
+        dists[active_id] = 1e5
+        return np.argsort(dists)[:k]
+
+    def _double_binding(self, active_id: int, mo_id: int, cr_mo: float,
+                        overlap_args) -> bool:
+        """Double-binding counter (ref process_double_binding :63-85)."""
+        if self.double_binding_counter == 0:
+            self.double_binding_counter = 1
+            self.db_active_id, self.db_mo_id = active_id, mo_id
+            return False
+        if active_id == self.db_active_id and mo_id == self.db_mo_id:
+            if self.double_binding_counter >= self.cfg.thres_db_time:
+                ok = self._loop_flag(mo_id, active_id, cr_mo, overlap_args,
+                                     force=True)
+                self.double_binding_counter = 0
+                return ok
+            self.double_binding_counter += 1
+            return False
+        self.double_binding_counter = 0
+        self.db_active_id, self.db_mo_id = active_id, mo_id
+        return False
+
+    def _loop_flag(self, mo_id: int, active_id: int, cr_mo: float,
+                   overlap_args, force: bool = False) -> bool:
+        """Verify a pending loop trigger (ref get_loop_flag :43-59)."""
+        if not (force or (self.wait_loop and self.localMLP_Id_wait == mo_id
+                          and self.localMLP_Id_actual == active_id)):
+            return False
+        if cr_mo < self.cfg.min_containing_ratio_back:
+            return False
+        if self.find_overlap_fn is None:
+            return False
+        ok, data = self.find_overlap_fn(mo_id, active_id, *overlap_args)
+        if ok:
+            self.ovlp_data = data
+            self.wait_loop = False
+        return True if ok else False
+
+    # -- state mutators (msg1/2/3, ref :522-606) --------------------------
+
+    def _apply_msg1(self, st: SlamState, kf_id: int, kf_center, kf_len,
+                    id1: int, id2: int, pose_world, switch: bool):
+        info = np.asarray(st.localMLP_info)
+        max_len = np.asarray(st.localMLP_max_len)
+        if switch:
+            max_len[id2] = self.cfg.localMLP_max_len_back
+        c1, l1 = expand_rule(info[id1, 1:4], info[id1, 4:7], kf_center,
+                             kf_len, max_len[id1])
+        if switch:
+            c2, l2 = expand_rule(info[id2, 1:4], info[id2, 4:7], kf_center,
+                                 kf_len, max_len[id2])
+        else:
+            c2, l2 = info[id2, 1:4], info[id2, 4:7]
+
+        bind = (id2, id1) if switch else (id1, id2)
+        st = st._replace(
+            localMLP_info=st.localMLP_info
+            .at[id1, 1:4].set(jnp.asarray(c1)).at[id1, 4:7].set(jnp.asarray(l1))
+            .at[id2, 1:4].set(jnp.asarray(c2)).at[id2, 4:7].set(jnp.asarray(l2)),
+            localMLP_max_len=jnp.asarray(max_len),
+            keyframe_localMLP=st.keyframe_localMLP.at[kf_id].set(
+                jnp.asarray(bind, jnp.int32)),
+            localMLP_adjacent=st.localMLP_adjacent
+            .at[id1, id2].set(1.0).at[id2, id1].set(1.0),
+            keyframe_ref=st.keyframe_ref.at[kf_id].set(-2),
+        )
+        if switch:
+            st = st._replace(
+                prev_active_submap_id=st.active_submap_id,
+                active_submap_id=jnp.asarray(id2, jnp.int32),
+                active_first_kf=st.localMLP_first_kf[id2],
+            )
+            return st, 1
+        return st, 2
+
+    def _apply_msg2(self, st: SlamState, kf_id: int, kf_center, kf_len,
+                    submap_id: int):
+        info = np.asarray(st.localMLP_info)
+        max_len = np.asarray(st.localMLP_max_len[submap_id])
+        c, ln = expand_rule(info[submap_id, 1:4], info[submap_id, 4:7],
+                            kf_center, kf_len, max_len)
+        st = st._replace(
+            localMLP_info=st.localMLP_info
+            .at[submap_id, 1:4].set(jnp.asarray(c))
+            .at[submap_id, 4:7].set(jnp.asarray(ln)),
+            keyframe_localMLP=st.keyframe_localMLP.at[kf_id, 0].set(
+                submap_id),
+        )
+        return st, 2
+
+    def _apply_msg3(self, st: SlamState, kf_id: int, frame_id: int,
+                    kf_center, kf_len, active_id: int, pose_world):
+        info = np.asarray(st.localMLP_info)
+        new_id = int(info[:, 0].sum())  # first unused slot
+        st = st._replace(
+            localMLP_info=st.localMLP_info.at[new_id].set(
+                jnp.concatenate([jnp.ones(1), jnp.asarray(kf_center),
+                                 jnp.asarray(kf_len)])),
+            localMLP_first_kf=st.localMLP_first_kf.at[new_id].set(kf_id),
+            keyframe_localMLP=st.keyframe_localMLP.at[kf_id].set(
+                jnp.asarray([new_id, active_id], jnp.int32)),
+            localMLP_adjacent=st.localMLP_adjacent
+            .at[active_id, new_id].set(1.0).at[new_id, active_id].set(1.0),
+            prev_active_submap_id=st.active_submap_id,
+            active_submap_id=jnp.asarray(new_id, jnp.int32),
+            active_first_kf=jnp.asarray(kf_id, jnp.int32),
+            keyframe_ref=st.keyframe_ref.at[kf_id].set(-1),
+            kf_c2w=st.kf_c2w.at[kf_id].set(jnp.asarray(pose_world)),
+            est_c2w=st.est_c2w.at[frame_id].set(jnp.eye(4)),
+        )
+        return st, 3, new_id
+
+    # -- main entry (ref process_keyframe :365-369) ------------------------
+
+    def process_keyframe(self, st: SlamState, depth: jnp.ndarray,
+                         rays_d: jnp.ndarray, pose_local: jnp.ndarray,
+                         frame_id: int, kf_id: int,
+                         force: bool = False):
+        if self.wait_loop:
+            return self._process_wait_loop(st, depth, rays_d, pose_local,
+                                           frame_id, kf_id, force)
+        return self._process_normal(st, depth, rays_d, pose_local,
+                                    frame_id, kf_id, force)
+
+    def _pose_world(self, st: SlamState, pose_local, active_id: int):
+        anchor = st.kf_c2w[st.localMLP_first_kf[active_id]]
+        return anchor @ pose_local
+
+    def _process_normal(self, st: SlamState, depth, rays_d, pose_local,
+                        frame_id: int, kf_id: int, force: bool):
+        active_id = int(st.active_submap_id)
+        pose_world = self._pose_world(st, pose_local, active_id)
+        fr_center, fr_len = get_frame_surface_bbox(
+            pose_world, depth, rays_d, self.cfg.near, self.cfg.far)
+        fr_center, fr_len = np.asarray(fr_center), np.asarray(fr_len)
+
+        nearest = self._nearest_exclude(st, active_id, fr_center, 3)
+        info = np.asarray(st.localMLP_info)
+        if len(nearest) > 0:
+            scores = bbox_hit_scores(
+                depth, rays_d, pose_world,
+                jnp.asarray(info[nearest, 1:4]),
+                jnp.asarray(info[nearest, 4:7]),
+                self.cr_rows, self.cr_cols)
+            mo_id = int(nearest[int(jnp.argmax(scores))])
+        else:
+            mo_id = active_id
+        cr_mo = self._cr(st, depth, rays_d, pose_world, mo_id)
+        same = (mo_id == active_id)
+        overlap_args = (st, depth, rays_d, pose_world)
+
+        # case 1: containment without expansion
+        cr_active = self._cr(st, depth, rays_d, pose_world, active_id)
+        if force or cr_active >= self.cfg.min_containing_ratio:
+            if not same and cr_mo >= self.cfg.min_containing_ratio_mo:
+                switch = self._double_binding(active_id, mo_id, cr_mo,
+                                              overlap_args)
+                st, flag = self._apply_msg1(st, kf_id, fr_center, fr_len,
+                                            active_id, mo_id, pose_world,
+                                            switch)
+            else:
+                st, flag = self._apply_msg2(st, kf_id, fr_center, fr_len,
+                                            active_id)
+                self.double_binding_counter = 0
+            return st, flag
+
+        # case 2: containment after expansion
+        max_len = np.asarray(st.localMLP_max_len[active_id])
+        new_c, new_l = expand_rule(info[active_id, 1:4], info[active_id, 4:7],
+                                   fr_center, fr_len, max_len)
+        cr_new = self._cr(st, depth, rays_d, pose_world, active_id,
+                          center=new_c, length=new_l)
+        if cr_new >= self.cfg.min_containing_ratio:
+            if not same and cr_mo >= self.cfg.min_containing_ratio_mo:
+                switch = self._double_binding(active_id, mo_id, cr_mo,
+                                              overlap_args)
+                st, flag = self._apply_msg1(st, kf_id, fr_center, fr_len,
+                                            active_id, mo_id, pose_world,
+                                            switch)
+            else:
+                st, flag = self._apply_msg2(st, kf_id, fr_center, fr_len,
+                                            active_id)
+                self.double_binding_counter = 0
+            return st, flag
+
+        self.double_binding_counter = 0
+        # cases 3-5
+        if same:  # case 3: new submap
+            st, flag, _ = self._apply_msg3(st, kf_id, frame_id, fr_center,
+                                           fr_len, active_id, pose_world)
+            self.wait_loop = False
+            return st, flag
+        if cr_mo < self.cfg.min_containing_ratio_back:  # case 4
+            st, flag, _ = self._apply_msg3(st, kf_id, frame_id, fr_center,
+                                           fr_len, active_id, pose_world)
+            self.wait_loop = False
+            return st, flag
+        # case 5: camera re-entered a previous submap
+        ok = False
+        data = None
+        if self.find_overlap_fn is not None:
+            ok, data = self.find_overlap_fn(mo_id, active_id, st, depth,
+                                            rays_d, pose_world)
+        if ok:  # case 5.1: switch back
+            self.ovlp_data = data
+            st, flag = self._apply_msg1(st, kf_id, fr_center, fr_len,
+                                        active_id, mo_id, pose_world, True)
+            self.wait_loop = False
+            return st, flag
+        # case 5.2: new submap + wait for the loop to mature
+        st, flag, new_id = self._apply_msg3(st, kf_id, frame_id, fr_center,
+                                            fr_len, active_id, pose_world)
+        self.wait_loop = True
+        self.localMLP_Id_wait = mo_id
+        self.localMLP_Id_actual = new_id
+        return st, flag
+
+    def _process_wait_loop(self, st: SlamState, depth, rays_d, pose_local,
+                           frame_id: int, kf_id: int, force: bool):
+        """Wait-loop re-check (ref process_keyframe_wait_loop :494-518)."""
+        active_id = int(st.active_submap_id)
+        pose_world = self._pose_world(st, pose_local, active_id)
+        cr_wt = self._cr(st, depth, rays_d, pose_world,
+                         self.localMLP_Id_wait)
+        if force or cr_wt < self.cfg.min_containing_ratio_back:
+            return self._process_normal(st, depth, rays_d, pose_local,
+                                        frame_id, kf_id, force)
+        overlap_args = (st, depth, rays_d, pose_world)
+        if not self._loop_flag(self.localMLP_Id_wait, active_id, cr_wt,
+                               overlap_args):
+            return self._process_normal(st, depth, rays_d, pose_local,
+                                        frame_id, kf_id, force)
+        fr_center, fr_len = get_frame_surface_bbox(
+            pose_world, depth, rays_d, self.cfg.near, self.cfg.far)
+        st, flag = self._apply_msg1(st, kf_id, np.asarray(fr_center),
+                                    np.asarray(fr_len), active_id,
+                                    self.localMLP_Id_wait, pose_world, True)
+        return st, flag

@@ -1,0 +1,840 @@
+"""MIPSFusion-TPU system: the per-frame SLAM orchestration loop.
+
+TPU-native counterpart of the reference's two-process system
+(/root/reference/mipsfusion.py + InactiveMap.py). The host loop only
+sequences jitted device steps and makes the (cheap, per-keyframe-
+cadence) control decisions; all compute — tracking RO+GO, local BA,
+submap init, switch BA, background refinement, ICP, PGO — runs as
+whole-loop jitted calls with static shapes, so the per-frame hot path
+never retraces.
+
+How the reference's two-process architecture maps here:
+  * ActiveMap process        -> the run() loop;
+  * InactiveMap round-robin  -> inactive_refine_step(), interleaved at
+    mapping cadence (ref InactiveMap.py:203-307);
+  * the shared-model handoff protocol (shared_flag spin-waits,
+    ref mipsfusion.py:607-653 / InactiveMap.py:61-96) -> a list index:
+    submap params live in self.submap_params[m], so "archive" and
+    "return asked model" are free;
+  * keyframe_mutex_mask / overlap_kf_flag ownership races
+    (ref SURVEY §5.2) -> explicit sequencing: active BA and inactive BA
+    never run concurrently, and the inactive step excludes keyframes
+    bound to the active submap.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..eval.ate import pose_evaluation, save_traj_tum
+from ..models import scene_rep as sr
+from ..ops.geometry import pose_inverse, project_to_pixel, qt_to_matrix
+from . import icp as icp_mod
+from . import manager as manager_mod
+from . import mapper, pose_graph
+from . import state as slam_state
+from . import tracker
+
+
+class MIPSFusionTPU:
+    """Online multi-implicit-submap RGB-D SLAM on TPU."""
+
+    def __init__(self, config: Dict, dataset=None):
+        self.config = config
+        if dataset is None:
+            from ..datasets import get_dataset
+            dataset = get_dataset(config)
+        self.dataset = dataset
+
+        H, W = dataset.H, dataset.W
+        self.H, self.W = H, W
+
+        # static configs
+        self.fcfg = sr.FieldConfig.from_dict(config)
+        if (self.fcfg.enc == "Triplane"
+                and "use_pallas" not in config.get("grid", {})
+                and jax.default_backend() not in ("cpu",)):
+            # Pallas kernels are the TPU fast path; the XLA fallback
+            # stays for CPU tests
+            import dataclasses as _dc
+            self.fcfg = _dc.replace(self.fcfg, use_pallas=True)
+        self.rcfg = tracker.ROConfig.from_dict(config)
+        self.gcfg = tracker.GOConfig.from_dict(config)
+        self.mcfg = mapper.MapConfig.from_dict(config)
+        self.lw = sr.LossWeights.from_dict(config)
+
+        m = config["mapping"]
+        self.keyframe_every = m["keyframe_every"]
+        self.map_every = m["map_every"]
+        n_frames = dataset.num_frames
+        num_kf = n_frames // self.keyframe_every + 1
+
+        samp = config["sampling"]
+        self.cap = slam_state.StateCapacity(
+            n_frames=n_frames,
+            n_keyframes=num_kf,
+            n_submaps=m["localMLP_num"],
+            rays_per_kf=samp["kf_n_rays_h"] * samp["kf_n_rays_w"],
+            kf_rays_h=samp["kf_n_rays_h"],
+            kf_rays_w=samp["kf_n_rays_w"],
+        )
+        self.state = slam_state.init_state(self.cap, m["localMLP_max_len"])
+        self.kf_rows, self.kf_cols = slam_state.kf_downsample_indices(
+            H, W, samp["kf_n_rays_h"], samp["kf_n_rays_w"])
+
+        # normalization constants of the active submap's field
+        if self.fcfg.use_bound_normalize:
+            self.consts = sr.FieldConsts.from_bound(
+                jnp.asarray(m["bound"], jnp.float32))
+        else:
+            self.consts = sr.FieldConsts.from_norm_factor(
+                jnp.asarray(m["localMLP_max_len"], jnp.float32))
+
+        # submap fields: list of identically-shaped param pytrees. All
+        # submaps start from the SAME initial params — the reference
+        # stores init values and recovers them on submap creation
+        # (ref scene_rep.py:49-55, mipsfusion.py:648).
+        self.key = jax.random.PRNGKey(config.get("seed", 0))
+        self.key, k0, kpst = jax.random.split(self.key, 3)
+        self.initial_params = sr.init_field_params(k0, self.fcfg)
+        self.submap_params: List[Optional[Dict]] = [None] * self.cap.n_submaps
+        self.submap_params[0] = self.initial_params
+        self.active_id = 0
+
+        self.map_opt = mapper.make_map_optimizer(self.mcfg)
+        self.map_opt_state = self.map_opt.init(self.initial_params)
+
+        self.pst = tracker.make_pst(kpst, self.rcfg)
+
+        # multi-submap machinery
+        self.use_manager = config.get("use_manager", True)
+        self.manager = manager_mod.Manager(
+            manager_mod.ManagerConfig.from_dict(config), H, W,
+            self.keyframe_every)
+        self.manager.find_overlap_fn = self._find_overlapping_region
+        t = config["tracking"]
+        self.switch_interval = t.get("switch_interval", 30)
+        sw = t.get("switch", {})
+        self.sw_align_threshold = sw.get("align_threshold", 0.05)
+        self.sw_min_corr = sw.get("min_correspondence", 2000)
+        self.sw_min_trans = sw.get("min_trans_dist", 0.5)
+        self.sw_map_num = sw.get("map_num", 15)
+        self.sw_lr_rot = sw.get("lr_rot", 0.001)
+        self.sw_lr_trans = sw.get("lr_trans", 0.001)
+        self.sw_iter_ro = sw.get("iter_RO", 10)
+        self.sw_iter_go = sw.get("iter", 20)
+        self.key_edge_weight = m.get("global_BA", {}).get(
+            "key_edge_weight", 0.1)
+        self.near_kf_num = 10  # ref keyframeSet.py:70
+        # ICP cloud subsampling (the reference feeds full 30k-ray clouds
+        # to open3d; we subsample for the brute-force NN matmul and scale
+        # the min-correspondence threshold accordingly)
+        self.icp_src_n = min(2048, self.cap.rays_per_kf)
+        self.icp_dst_n = 4096
+        self.optim_cur = self.mcfg.optim_cur
+
+        # background refinement (InactiveMap round-robin)
+        self.inactive_started = False
+        self._inactive_rr = 0
+
+        # loop-closure transient state
+        self.rectified_local_pose: Optional[jnp.ndarray] = None
+        self.temp_local_pose: Optional[jnp.ndarray] = None
+        self.do_global_ba = False
+        self.key_kf_id = -1
+
+        # host-side trackers
+        self.track_losses: List[float] = []
+        self.last_switch_frame = 0
+
+        out = config.get("data", {}).get("output")
+        self.output_dir = None
+        if out:
+            self.output_dir = os.path.join(
+                out, config["data"].get("exp_name", "exp"))
+            os.makedirs(self.output_dir, exist_ok=True)
+
+    # ------------------------------------------------------------------
+    # helpers
+    # ------------------------------------------------------------------
+
+    def _frame_arrays(self, frame: Dict):
+        return (jnp.asarray(frame["rgb"]), jnp.asarray(frame["depth"]),
+                jnp.asarray(frame["direction"]))
+
+    def _next_key(self):
+        self.key, k = jax.random.split(self.key)
+        return k
+
+    def _kf_frames(self):
+        K = self.cap.n_keyframes
+        return np.minimum(np.arange(K) * self.keyframe_every,
+                          self.cap.n_frames - 1)
+
+    def _anchor(self, st: slam_state.SlamState, submap_id) -> jnp.ndarray:
+        return st.kf_c2w[st.localMLP_first_kf[submap_id]]
+
+    def extract_submap_kf_poses(self, st: slam_state.SlamState,
+                                submap_id: int) -> jnp.ndarray:
+        """Local poses of every keyframe slot in submap_id's frame.
+
+        Vectorized extract_localMLP_vars steps 4.1-4.3
+        (ref keyframeSet.py:472-515): ordinary kfs use est_c2w directly
+        (valid when their first binding == submap_id); first kfs of
+        OTHER submaps convert from their world anchor; overlapping kfs
+        whose first binding differs convert via both anchors.
+        """
+        kf_frames = jnp.asarray(self._kf_frames())
+        poses = st.est_c2w[kf_frames]                      # [K,4,4]
+        anchor = self._anchor(st, submap_id)
+        anchor_inv = pose_inverse(anchor)
+
+        kf_ref = st.keyframe_ref
+        first_kf = st.localMLP_first_kf[submap_id]
+        idx = jnp.arange(poses.shape[0])
+
+        # first kfs of other submaps: local = anchor^-1 @ world
+        world = st.kf_c2w[jnp.clip(idx, 0, st.kf_c2w.shape[0] - 1)]
+        from_world = jnp.einsum("ij,kjl->kil", anchor_inv, world,
+                                precision=jax.lax.Precision.HIGHEST)
+        is_other_first = (kf_ref == -1) & (idx != first_kf)
+        poses = jnp.where(is_other_first[:, None, None], from_world, poses)
+
+        # overlapping kfs bound first to another submap: convert via the
+        # first-bound submap's anchor
+        first_bind = st.keyframe_localMLP[:, 0]
+        other_anchor = st.kf_c2w[st.localMLP_first_kf[
+            jnp.clip(first_bind, 0, st.localMLP_first_kf.shape[0] - 1)]]
+        world_ovlp = jnp.einsum("kij,kjl->kil", other_anchor,
+                                st.est_c2w[kf_frames],
+                                precision=jax.lax.Precision.HIGHEST)
+        local_ovlp = jnp.einsum("ij,kjl->kil", anchor_inv, world_ovlp,
+                                precision=jax.lax.Precision.HIGHEST)
+        is_ovlp_other = (kf_ref == -2) & (first_bind != submap_id)
+        poses = jnp.where(is_ovlp_other[:, None, None], local_ovlp, poses)
+
+        # the submap's own first keyframe: identity in its own frame
+        poses = jnp.where((idx == first_kf)[:, None, None],
+                          jnp.eye(4, dtype=poses.dtype)[None], poses)
+        return poses
+
+    def writeback_ba_poses(self, st: slam_state.SlamState, submap_id: int,
+                           kf_mask: jnp.ndarray, opt_poses: jnp.ndarray
+                           ) -> slam_state.SlamState:
+        """Write optimized kf poses back by type (ref mipsfusion.py:344-367)."""
+        kf_frames = jnp.asarray(self._kf_frames())
+        kf_ref = st.keyframe_ref
+        first_kf = st.localMLP_first_kf[submap_id]
+        idx = jnp.arange(opt_poses.shape[0])
+        anchor = self._anchor(st, submap_id)
+        upd = kf_mask & (idx != first_kf)
+
+        # ordinary kfs: est_c2w[frame] = optimized local pose
+        ordinary = upd & (kf_ref >= 0)
+
+        # overlapping kfs first-bound to this submap: same
+        first_bind = st.keyframe_localMLP[:, 0]
+        ovlp_here = upd & (kf_ref == -2) & (first_bind == submap_id)
+
+        # overlapping kfs first-bound elsewhere: convert to that frame
+        world = jnp.einsum("ij,kjl->kil", anchor, opt_poses,
+                           precision=jax.lax.Precision.HIGHEST)
+        other_anchor_inv = pose_inverse(st.kf_c2w[st.localMLP_first_kf[
+            jnp.clip(first_bind, 0, st.localMLP_first_kf.shape[0] - 1)]])
+        local_other = jnp.einsum("kij,kjl->kil", other_anchor_inv, world,
+                                 precision=jax.lax.Precision.HIGHEST)
+        ovlp_other = upd & (kf_ref == -2) & (first_bind != submap_id)
+
+        new_frame_pose = jnp.where(
+            (ordinary | ovlp_here)[:, None, None], opt_poses,
+            jnp.where(ovlp_other[:, None, None], local_other,
+                      st.est_c2w[kf_frames]))
+        est_c2w = st.est_c2w.at[kf_frames].set(new_frame_pose)
+
+        # first kfs of other submaps: update their world anchors
+        other_first = upd & (kf_ref == -1)
+        new_kf_c2w = jnp.where(other_first[:, None, None], world,
+                               st.kf_c2w[jnp.clip(
+                                   idx, 0, st.kf_c2w.shape[0] - 1)])
+        kf_c2w = st.kf_c2w.at[jnp.clip(
+            idx, 0, st.kf_c2w.shape[0] - 1)].set(new_kf_c2w)
+        return st._replace(est_c2w=est_c2w, kf_c2w=kf_c2w)
+
+    # ------------------------------------------------------------------
+    # stages
+    # ------------------------------------------------------------------
+
+    def first_frame_mapping(self, frame: Dict, n_iters: int):
+        """Initialize submap 0 on frame 0 (ref mipsfusion.py:155-194)."""
+        rgb, depth, direction = self._frame_arrays(frame)
+        st = self.state
+        c2w_world = jnp.asarray(frame["c2w"], jnp.float32)
+
+        from ..ops.geometry import get_frame_surface_bbox
+        center, length = get_frame_surface_bbox(
+            c2w_world, depth, direction,
+            self.config["cam"]["near"], self.config["cam"]["far"])
+
+        st = st._replace(
+            kf_c2w=st.kf_c2w.at[0].set(c2w_world),
+            est_c2w=st.est_c2w.at[0].set(jnp.eye(4)),
+            keyframe_ref=st.keyframe_ref.at[0].set(-1),
+            localMLP_first_kf=st.localMLP_first_kf.at[0].set(0),
+            localMLP_info=st.localMLP_info.at[0].set(
+                jnp.concatenate([jnp.ones(1), center, length])),
+            keyframe_localMLP=st.keyframe_localMLP.at[0, 0].set(0),
+        )
+
+        frame_rays = slam_state.make_frame_rays(direction, rgb, depth)
+        params, opt_state, _ = mapper.init_submap_fit(
+            self.submap_params[0], self.map_opt_state, self._next_key(),
+            frame_rays.reshape(-1, 7), self.fcfg, self.consts, self.mcfg,
+            self.lw, n_iters, self.mcfg.mapping_sample_init)
+        self.submap_params[0] = params
+        self.map_opt_state = opt_state
+
+        st = slam_state.add_keyframe(st, frame_rays, 0,
+                                     self.kf_rows, self.kf_cols)
+        self.state = st
+
+    def track(self, frame: Dict, i: int, switch_tracking: bool = False):
+        """Track frame i against the active submap (ref :470-576)."""
+        rgb, depth, direction = self._frame_arrays(frame)
+        st = self.state
+        if switch_tracking:
+            # re-track from the rectified pose with the switch budgets
+            prev = st.est_c2w[i]
+            prev_prev = prev
+            use_cs = jnp.asarray(False)
+            n_ro, n_go = self.sw_iter_ro, self.sw_iter_go
+        else:
+            use_cs = jnp.asarray(
+                self.config["tracking"]["const_speed"]
+                and (i - self.last_switch_frame) >= 2)
+            prev = st.est_c2w[i - 1]
+            prev_prev = st.est_c2w[max(i - 2, 0)]
+            n_ro, n_go = self.rcfg.n_iters, self.gcfg.n_iters
+
+        res = tracker.track_frame(
+            self.submap_params[self.active_id], self.fcfg, self.consts,
+            self.rcfg, self.gcfg, self.pst, self._next_key(),
+            rgb, depth, direction, prev, prev_prev, use_cs, self.lw,
+            n_ro, n_go)
+
+        st = st._replace(est_c2w=st.est_c2w.at[i].set(res.pose))
+
+        # relative-pose bookkeeping (ref :558-576)
+        if i % self.keyframe_every != 0:
+            kf_frame = (i // self.keyframe_every) * self.keyframe_every
+            delta = pose_inverse(st.est_c2w[kf_frame]) @ res.pose
+            st = st._replace(est_c2w_rel=st.est_c2w_rel.at[i].set(delta))
+        elif not switch_tracking:
+            kf_id = i // self.keyframe_every
+            st = st._replace(keyframe_ref=st.keyframe_ref.at[kf_id].set(
+                st.active_first_kf.astype(jnp.int32)))
+        self.state = st
+        self.track_losses.append(float(res.loss))
+
+    def do_local_ba(self, frame: Dict, i: int):
+        """Local BA on the active submap (ref :259-370)."""
+        rgb, depth, direction = self._frame_arrays(frame)
+        st = self.state
+
+        kf_mask = slam_state.submap_kf_mask(st, st.active_submap_id)
+        first_kf = st.localMLP_first_kf[st.active_submap_id]
+        valid_ids = jnp.where(kf_mask, jnp.arange(kf_mask.shape[0]), -1)
+        last_kf = jnp.max(valid_ids)
+
+        poses_local = self.extract_submap_kf_poses(st, st.active_submap_id)
+
+        frame_rays = slam_state.make_frame_rays(direction, rgb, depth)
+        mcfg = self.mcfg
+        if self.optim_cur and not mcfg.optim_cur:
+            mcfg = mapper.MapConfig(**{
+                **mcfg.__dict__, "optim_cur": True})
+        res = mapper.local_ba(
+            self.submap_params[self.active_id], self.map_opt_state,
+            self._next_key(), st.kf_rays, kf_mask, first_kf, last_kf,
+            poses_local, frame_rays.reshape(-1, 7), st.est_c2w[i],
+            self.fcfg, self.consts, mcfg, self.lw,
+            mcfg.sample + mcfg.pixels_cur)
+
+        self.submap_params[self.active_id] = res.field_params
+        self.map_opt_state = res.map_opt_state
+
+        opt_poses = qt_to_matrix(res.kf_quat, res.kf_trans)  # [K,4,4]
+        st = self.writeback_ba_poses(st, int(st.active_submap_id),
+                                     kf_mask, opt_poses)
+        if self.optim_cur:
+            st = st._replace(est_c2w=st.est_c2w.at[i].set(
+                qt_to_matrix(res.cur_quat, res.cur_trans)))
+        self.state = st
+
+    def add_keyframe(self, frame: Dict, i: int):
+        rgb, depth, direction = self._frame_arrays(frame)
+        frame_rays = slam_state.make_frame_rays(direction, rgb, depth)
+        st = slam_state.add_keyframe(self.state, frame_rays, i,
+                                     self.kf_rows, self.kf_cols)
+        if not self.use_manager:
+            kf_id = i // self.keyframe_every
+            st = st._replace(keyframe_localMLP=st.keyframe_localMLP.at[
+                kf_id, 0].set(st.active_submap_id.astype(jnp.int32)))
+        self.state = st
+
+    # ------------------------------------------------------------------
+    # submap switching (ref mipsfusion.py:607-653)
+    # ------------------------------------------------------------------
+
+    def active_submap_switch_new(self, frame: Dict, i: int, kf_id: int):
+        """Create + initialize a fresh submap (ref :639-653 + :198-222).
+
+        The previous submap's params are already archived in
+        submap_params[prev]; the new submap starts from the shared
+        initial params and gets the first-frame fit.
+        """
+        st = self.state
+        new_id = int(st.active_submap_id)
+        self.submap_params[new_id] = self.initial_params
+        self.map_opt_state = self.map_opt.init(self.initial_params)
+        self.active_id = new_id
+        self.last_switch_frame = i
+        st = st._replace(active_first_kf=jnp.asarray(kf_id, jnp.int32),
+                         last_switch_frame=jnp.asarray(i, jnp.int32))
+        self.state = st
+        self.inactive_started = True
+
+        rgb, depth, direction = self._frame_arrays(frame)
+        frame_rays = slam_state.make_frame_rays(direction, rgb, depth)
+        params, opt_state, _ = mapper.init_submap_fit(
+            self.submap_params[new_id], self.map_opt_state,
+            self._next_key(), frame_rays.reshape(-1, 7), self.fcfg,
+            self.consts, self.mcfg, self.lw, self.mcfg.first_iters,
+            self.mcfg.mapping_sample_init)
+        self.submap_params[new_id] = params
+        self.map_opt_state = opt_state
+
+    def active_submap_switch(self, frame: Dict, i: int, kf_id: int):
+        """Switch back to a previous submap (ref :607-635): the model
+        handoff is an index swap; the tracked pose is replaced by the
+        ICP-rectified local pose computed during overlap verification."""
+        st = self.state
+        back_id = int(st.active_submap_id)
+        self.active_id = back_id
+        self.map_opt_state = self.map_opt.init(self.submap_params[back_id])
+        self.last_switch_frame = i
+        self.temp_local_pose = st.est_c2w[i]
+        st = st._replace(
+            active_first_kf=st.localMLP_first_kf[back_id],
+            last_switch_frame=jnp.asarray(i, jnp.int32),
+            est_c2w=st.est_c2w.at[i].set(self.rectified_local_pose),
+        )
+        self.state = st
+        self.optim_cur = True
+        self.inactive_started = True
+
+    def local_ba_switch(self, frame: Dict, kf_id: int, i: int):
+        """Pose-only BA of the loop keyframe vs the switched-to submap
+        (ref :379-444)."""
+        st = self.state
+        data = self.manager.ovlp_data or {}
+        top_kf_ids = data.get("top_kf_ids")
+        if top_kf_ids is None or len(top_kf_ids) == 0:
+            return
+        kf_mask = np.zeros(self.cap.n_keyframes, bool)
+        kf_mask[np.asarray(top_kf_ids)] = True
+        kf_mask = jnp.asarray(kf_mask)
+
+        poses_local = self.extract_submap_kf_poses(st, self.active_id)
+        rgb, depth, direction = self._frame_arrays(frame)
+        frame_rays = slam_state.make_frame_rays(direction, rgb, depth)
+
+        pose_opt, _ = mapper.switch_ba(
+            self.submap_params[self.active_id], self._next_key(),
+            st.kf_rays, kf_mask, poses_local,
+            frame_rays.reshape(-1, 7), st.est_c2w[i], self.fcfg,
+            self.consts, self.lw, self.sw_lr_rot, self.sw_lr_trans,
+            self.sw_map_num, self.mcfg.sample,
+            self.mcfg.pose_accum_step)
+        self.state = st._replace(est_c2w=st.est_c2w.at[i].set(pose_opt))
+
+    # ------------------------------------------------------------------
+    # loop-closure verification (ref Manager.find_overlapping_region
+    # :261-352 + PoseCorrector.switch_pose_rectifying :99-163)
+    # ------------------------------------------------------------------
+
+    def _related_kfs_of(self, st: slam_state.SlamState, submap_id: int,
+                        exclude_submap: Optional[int] = None) -> np.ndarray:
+        mask = np.asarray(slam_state.submap_kf_mask(st, submap_id))
+        if exclude_submap is not None:
+            first_bind = np.asarray(st.keyframe_localMLP[:, 0])
+            mask &= ~(first_bind == exclude_submap)
+        return np.where(mask)[0]
+
+    def _kf_world_poses(self, st: slam_state.SlamState,
+                        kf_ids: np.ndarray) -> jnp.ndarray:
+        """World poses of given keyframes (ref convert_given_world_pose)."""
+        kf_frames = self._kf_frames()
+        first_bind = np.asarray(st.keyframe_localMLP[:, 0])[kf_ids]
+        anchors = st.kf_c2w[st.localMLP_first_kf[
+            jnp.asarray(np.clip(first_bind, 0, None))]]
+        local = st.est_c2w[jnp.asarray(kf_frames[kf_ids])]
+        kf_ref = np.asarray(st.keyframe_ref)[kf_ids]
+        world = jnp.einsum("kij,kjl->kil", anchors, local,
+                           precision=jax.lax.Precision.HIGHEST)
+        # first keyframes: kf_c2w directly
+        world = jnp.where((kf_ref == -1)[:, None, None],
+                          st.kf_c2w[jnp.asarray(kf_ids)], world)
+        return world
+
+    def _find_overlapping_region(self, mo_id: int, active_id: int,
+                                 st: slam_state.SlamState,
+                                 depth: jnp.ndarray, rays_d: jnp.ndarray,
+                                 pose_world: jnp.ndarray):
+        """Verify that the current keyframe genuinely re-observes
+        submap mo_id, then ICP-rectify the switch pose. Returns
+        (ok, data)."""
+        mcfg_mgr = self.manager.cfg
+        rows, cols = manager_mod.uniform_grid(
+            self.H, self.W, mcfg_mgr.ovlp_rays_h, mcfg_mgr.ovlp_rays_w)
+        d = depth[rows, cols][:, None]
+        dirs = rays_d[rows, cols]
+        from ..ops.geometry import rays_to_world
+        rays_o, rays_dw = rays_to_world(dirs, jnp.asarray(pose_world))
+        pts = rays_o + rays_dw * d                        # [N,3] world
+
+        related = self._related_kfs_of(st, mo_id, exclude_submap=active_id)
+        if len(related) == 0:
+            return False, None
+        rel_world = self._kf_world_poses(st, related)
+
+        # top-K nearest kfs by center distance
+        center = jnp.mean(pts, axis=0)
+        dists = jnp.linalg.norm(rel_world[:, :3, 3] - center, axis=-1)
+        k = min(self.near_kf_num, len(related))
+        top_idx = np.asarray(jnp.argsort(dists))[:k]
+        top_kf_ids = related[top_idx]
+        top_world = rel_world[jnp.asarray(top_idx)]
+
+        # visibility of pts in each top kf
+        w2c = pose_inverse(top_world)                     # [k,4,4]
+        pts_cam = jnp.einsum("kij,nj->kni", w2c[:, :3, :3], pts,
+                             precision=jax.lax.Precision.HIGHEST) \
+            + w2c[:, None, :3, 3]
+        K_mat = jnp.asarray([[self.dataset.fx, 0.0, self.dataset.cx],
+                             [0.0, self.dataset.fy, self.dataset.cy],
+                             [0.0, 0.0, 1.0]])
+        uv = jax.vmap(lambda p: project_to_pixel(K_mat, p))(pts_cam)
+        edge = 20
+        vis = ((uv[..., 0] > edge) & (uv[..., 0] < self.W - edge)
+               & (uv[..., 1] > edge) & (uv[..., 1] < self.H - edge)
+               & (pts_cam[..., 2] < 0))                   # [k,N]
+        mask_pts = jnp.any(vis, axis=0)
+
+        info = np.asarray(st.localMLP_info[mo_id])
+        lo = jnp.asarray(info[1:4] - 0.5 * info[4:7])
+        hi = jnp.asarray(info[1:4] + 0.5 * info[4:7])
+        from ..ops.geometry import pts_in_bbox
+        mask_in = pts_in_bbox(pts, lo[None], hi[None])[:, 0]
+        mask_final = mask_pts & mask_in & (d[:, 0] > 0)
+        n_valid = int(jnp.sum(mask_final))
+        # min_pts scaled to our sample count (reference samples
+        # n_rays_h*n_rays_w=1600 and requires 200)
+        need = mcfg_mgr.min_ovlp_pts
+        if n_valid < need:
+            return False, None
+
+        # ICP rectification
+        ok, n_corr, pose_final = self._switch_pose_rectifying(
+            st, mo_id, active_id, top_kf_ids, vis, depth, rays_d)
+        if not ok:
+            return False, None
+        self.rectified_local_pose = pose_final
+        data = {"top_kf_ids": top_kf_ids, "top_kf_mask": np.asarray(vis),
+                "pts_mask": np.asarray(mask_final)}
+        return True, data
+
+    def _switch_pose_rectifying(self, st: slam_state.SlamState,
+                                mo_id: int, active_id: int,
+                                top_kf_ids: np.ndarray,
+                                top_kf_mask: jnp.ndarray,
+                                depth: jnp.ndarray, rays_d: jnp.ndarray
+                                ) -> Tuple[bool, int, jnp.ndarray]:
+        """ICP-align the triggering keyframe to mo_id's keyframe cloud
+        (ref PoseCorrector.switch_pose_rectifying :99-163)."""
+        frame_id = int(np.asarray(st.n_kf)) * 0  # unused placeholder
+        # initial local pose in the target submap's frame
+        anchor_prev = self._anchor(st, active_id)
+        anchor_aft = self._anchor(st, mo_id)
+        cur_frame = int(self._last_tracked_frame)
+        pose_world = anchor_prev @ st.est_c2w[cur_frame]
+        pose_local_ini = pose_inverse(anchor_aft) @ pose_world
+
+        # target cloud: stored rays of selected kfs (those with enough
+        # visible points, ref :117-123), in mo_id's local frame
+        counts = np.asarray(jnp.sum(top_kf_mask, axis=-1))
+        sel = np.where(counts > 200)[0]
+        sel_ids = top_kf_ids if len(sel) == 0 else top_kf_ids[sel]
+        poses_local_all = self.extract_submap_kf_poses(st, mo_id)
+        R = self.cap.rays_per_kf
+        n_per = max(1, self.icp_dst_n // max(len(sel_ids), 1))
+        sub = np.linspace(0, R - 1, n_per).astype(np.int32)
+        dst_rays = st.kf_rays[jnp.asarray(sel_ids)][:, jnp.asarray(sub)]
+        dst_rays = dst_rays.reshape(-1, 7)
+        pose_idx = jnp.repeat(jnp.asarray(sel_ids), n_per)
+        dst_pts, dst_valid = icp_mod.backproject_rays(
+            dst_rays, poses_local_all, pose_idx)
+
+        # source cloud: current keyframe downsampled rays at pose_ini
+        src_sub = np.linspace(0, len(self.kf_rows) - 1,
+                              self.icp_src_n).astype(np.int32)
+        rr = self.kf_rows[jnp.asarray(src_sub)]
+        cc = self.kf_cols[jnp.asarray(src_sub)]
+        d = depth[rr, cc][:, None]
+        dirs = rays_d[rr, cc]
+        dirs_w = dirs @ pose_local_ini[:3, :3].T
+        src_pts = pose_local_ini[:3, 3] + dirs_w * d
+        src_valid = d[:, 0] > 0
+
+        normals = icp_mod.estimate_normals(dst_pts, k=10)
+        res = icp_mod.icp_point_to_plane(
+            src_pts, src_valid, dst_pts, dst_valid, normals,
+            self.sw_align_threshold, n_iters=15)
+
+        # the reference demands min_correspondence matches out of its
+        # full-resolution cloud; scale to our subsampled source count
+        need = int(self.sw_min_corr * self.icp_src_n / R)
+        n_in = int(res.n_inliers)
+        if n_in < max(need, 32):
+            return False, n_in, pose_local_ini
+        rel = res.transform
+        if float(jnp.linalg.norm(rel[:3, 3])) >= self.sw_min_trans:
+            rel = jnp.eye(4)   # distrust large corrections (ref :156-157)
+        return True, n_in, rel @ pose_local_ini
+
+    # ------------------------------------------------------------------
+    # background refinement (InactiveMap round-robin, ref InactiveMap.py
+    # :203-307) + global BA (PGO)
+    # ------------------------------------------------------------------
+
+    def inactive_refine_step(self):
+        """One BA round on the next inactive submap (round-robin)."""
+        st = self.state
+        used = int(np.asarray(st.localMLP_info[:, 0]).sum())
+        inactive = [m for m in range(used)
+                    if m != self.active_id and self.submap_params[m]
+                    is not None]
+        if not inactive or not self.inactive_started:
+            return
+        m = inactive[self._inactive_rr % len(inactive)]
+        self._inactive_rr += 1
+
+        kf_mask = slam_state.submap_kf_mask(st, m)
+        # ownership rule: skip keyframes first-bound to the active submap
+        # (they are being optimized by active BA) — the functional
+        # re-expression of keyframe_mutex_mask / overlap_kf_flag
+        kf_mask = kf_mask & ~(st.keyframe_localMLP[:, 0]
+                              == st.active_submap_id)
+        if int(jnp.sum(kf_mask)) == 0:
+            return
+        first_kf = st.localMLP_first_kf[m]
+        valid_ids = jnp.where(kf_mask, jnp.arange(kf_mask.shape[0]), -1)
+        last_kf = jnp.max(valid_ids)
+        poses_local = self.extract_submap_kf_poses(st, m)
+
+        # fresh optimizer per round (the reference creates one per call,
+        # ref InactiveMap.py:213)
+        opt_state = self.map_opt.init(self.submap_params[m])
+        dummy_cur = jnp.zeros((8, 7))
+        res = mapper.local_ba(
+            self.submap_params[m], opt_state, self._next_key(),
+            st.kf_rays, kf_mask, first_kf, last_kf, poses_local,
+            dummy_cur, jnp.eye(4), self.fcfg, self.consts, self.mcfg,
+            self.lw, self.mcfg.sample, include_current=False)
+        self.submap_params[m] = res.field_params
+        opt_poses = qt_to_matrix(res.kf_quat, res.kf_trans)
+        self.state = self.writeback_ba_poses(st, m, kf_mask, opt_poses)
+
+    def global_ba(self):
+        """Pose-graph optimization over submap anchors after a loop
+        closure (ref InactiveMap.global_BA :478-497 ->
+        PoseCorrector.pose_graph_optimize :173-216)."""
+        st = self.state
+        used = int(np.asarray(st.localMLP_info[:, 0]).sum())
+        if used < 2 or self.temp_local_pose is None:
+            return
+        M = st.localMLP_info.shape[0]
+        anchors = st.kf_c2w[st.localMLP_first_kf[
+            jnp.clip(jnp.arange(M), 0, st.localMLP_first_kf.shape[0] - 1)]]
+
+        prev_id = int(st.prev_active_submap_id)
+        aft_id = int(st.active_submap_id)
+        local_prev = self.temp_local_pose
+        local_aft = self.rectified_local_pose
+        key_rel = local_prev @ pose_inverse(local_aft)
+
+        edges, rels, weights = pose_graph.build_pose_graph_problem(
+            anchors, np.asarray(st.localMLP_adjacent), (aft_id, prev_id),
+            key_rel, self.key_edge_weight, used)
+        node_mask = jnp.asarray(
+            [False] + [True] * (M - 1)) & (jnp.arange(M) < used)
+        nodes, cost = pose_graph.optimize_pose_graph(
+            anchors, edges, rels, weights, node_mask, n_iters=10)
+
+        first_kfs = np.asarray(st.localMLP_first_kf)[:used]
+        kf_c2w = st.kf_c2w.at[jnp.asarray(first_kfs)].set(nodes[:used])
+        self.state = st._replace(kf_c2w=kf_c2w)
+
+    # ------------------------------------------------------------------
+    # trajectory assembly & evaluation (ref Logger.py:84-126)
+    # ------------------------------------------------------------------
+
+    def assemble_trajectory(self, up_to: int) -> np.ndarray:
+        st = self.state
+        est = np.asarray(st.est_c2w[: up_to + 1])
+        rel = np.asarray(st.est_c2w_rel[: up_to + 1])
+        kf_ref = np.asarray(st.keyframe_ref)
+        poses = np.empty_like(est)
+        for i in range(up_to + 1):
+            if i % self.keyframe_every == 0:
+                kf_id = i // self.keyframe_every
+                if kf_ref[kf_id] == -1:
+                    poses[i] = np.eye(4)
+                else:
+                    poses[i] = est[i]
+            else:
+                kf_frame = (i // self.keyframe_every) * self.keyframe_every
+                poses[i] = est[kf_frame] @ rel[i]
+        return poses
+
+    def world_trajectory(self, up_to: int) -> np.ndarray:
+        st = self.state
+        poses_local = self.assemble_trajectory(up_to)
+        kf_ids = np.arange(up_to + 1) // self.keyframe_every
+        kf_submap = np.asarray(st.keyframe_localMLP[:, 0])
+        first_kf = np.asarray(st.localMLP_first_kf)
+        kf_c2w = np.asarray(st.kf_c2w)
+        anchors = kf_c2w[first_kf[np.clip(kf_submap[kf_ids], 0, None)]]
+        return anchors @ poses_local
+
+    def evaluate(self, up_to: int, tag: str = "final") -> Dict:
+        world = self.world_trajectory(up_to)
+        gt = np.stack([np.asarray(self.dataset[i]["c2w"])
+                       for i in range(up_to + 1)])
+        return pose_evaluation(gt, world, self.output_dir, tag)
+
+    # ------------------------------------------------------------------
+    # meshing + checkpointing (ref Logger.py:155-298, Mesher.py)
+    # ------------------------------------------------------------------
+
+    def save_checkpoint(self, tag: str = "final"):
+        if not self.output_dir:
+            return None
+        from .checkpoint import save_ckpt
+        ckpt_dir = os.path.join(self.output_dir, f"ckpt_{tag}")
+        save_ckpt(ckpt_dir, self.state, self.submap_params,
+                  extra={"active_id": self.active_id})
+        return ckpt_dir
+
+    def extract_mesh(self, path: str = None, joint: bool = True,
+                     voxel_size: float = None):
+        """Extract per-submap meshes and (optionally) the joint mesh."""
+        from ..mesher import Mesher, MeshConfig
+        from ..mesher.mesher import save_mesh_ply
+
+        st = self.state
+        used = int(np.asarray(st.localMLP_info[:, 0]).sum())
+        voxel = voxel_size or self.config.get("mesh", {}).get(
+            "voxel_final", 0.05)
+        mesher = Mesher(self.fcfg, self.consts, MeshConfig(voxel_size=voxel))
+        bound = np.asarray(self.config["mapping"].get(
+            "marching_cubes_bound", self.config["mapping"]["bound"]))
+
+        info = np.asarray(st.localMLP_info)
+        anchors = np.stack([np.asarray(self._anchor(st, m))
+                            for m in range(used)])
+        params = [self.submap_params[m] for m in range(used)]
+        # field SDF is in units of trunc: the extractor's validity
+        # threshold lives in those units (|sdf_units| < 1 is in-band)
+        sdf_trunc_units = 0.99
+        if joint and used > 1:
+            verts, faces, colors = mesher.extract_mesh_jointly(
+                params, anchors, info[:used, 1:4], info[:used, 4:7],
+                trunc=sdf_trunc_units, bound_world=bound)
+        else:
+            verts, faces, colors = mesher.extract_single_mesh(
+                params[0], anchors[0], info[0, 1:4], info[0, 4:7],
+                trunc=sdf_trunc_units, bound_world=bound)
+        if path:
+            save_mesh_ply(path, verts, faces, colors)
+        return verts, faces, colors
+
+    # ------------------------------------------------------------------
+    # main loop (ref mipsfusion.py:661-735)
+    # ------------------------------------------------------------------
+
+    def process_frame(self, frame: Dict, i: int):
+        """Full per-frame pipeline: track, map, keyframe decisions."""
+        self._last_tracked_frame = i
+        if i == 0:
+            self.first_frame_mapping(frame, self.mcfg.first_iters)
+            return
+
+        self.track(frame, i)
+        if i % self.map_every == 0:
+            self.do_local_ba(frame, i)
+            self.inactive_refine_step()
+
+        if i % self.keyframe_every == 0:
+            kf_id = i // self.keyframe_every
+            self.add_keyframe(frame, i)
+            if self.use_manager:
+                _, depth, direction = self._frame_arrays(frame)
+                force = (i - self.last_switch_frame) <= self.switch_interval
+                st, flag = self.manager.process_keyframe(
+                    self.state, depth, direction, self.state.est_c2w[i],
+                    i, kf_id, force=force)
+                self.state = st
+                if flag == 3:
+                    self.active_submap_switch_new(frame, i, kf_id)
+                elif flag == 1:
+                    self.active_submap_switch(frame, i, kf_id)
+                    self.local_ba_switch(frame, kf_id, i)
+                    self.global_ba()
+
+        if self.do_global_ba:
+            self.global_ba()
+            self.do_global_ba = False
+
+    def run(self, n_frames: Optional[int] = None, verbose: bool = True):
+        n = n_frames or self.dataset.num_frames
+        t_start = time.time()
+        for i in range(n):
+            frame = self.dataset[i]
+            self.process_frame(frame, i)
+            if verbose and i % 25 == 0 and i > 0:
+                fps = i / (time.time() - t_start)
+                print(f"frame {i}/{n}  track_loss="
+                      f"{self.track_losses[-1]:.4f}  submap="
+                      f"{self.active_id}  {fps:.2f} fps")
+        elapsed = time.time() - t_start
+        results = self.evaluate(n - 1)
+        results["fps"] = n / elapsed
+        results["n_submaps"] = int(
+            np.asarray(self.state.localMLP_info[:, 0]).sum())
+        if self.output_dir:
+            save_traj_tum(self.world_trajectory(n - 1),
+                          os.path.join(self.output_dir, f"traj_{n-1}.txt"))
+            self.save_checkpoint("final")
+            if self.config.get("mesh", {}).get("extract_final", True):
+                try:
+                    self.extract_mesh(os.path.join(self.output_dir,
+                                                   "mesh_final.ply"))
+                except Exception as e:  # meshing must not kill the run
+                    print(f"final mesh extraction failed: {e}")
+        return results

@@ -1,0 +1,304 @@
+"""Camera tracking: particle-swarm RO + gradient GO, each one jitted call.
+
+TPU-native counterparts of the reference's two trackers:
+
+  * RO — the ROSEFusion-style gradient-free random optimizer
+    (/root/reference/RandomOptimizer.py:10-227). The pre-sampled particle
+    swarm template (PST) is evaluated in ONE batched field query per
+    iteration ([P, n_rays] points through hash+MLP), the advanced
+    particle subset is reduced by a weighted mean, and the search size
+    shrinks/grows with the mean SDF. The whole n_iter loop is a
+    lax.fori_loop inside jit — zero host round-trips.
+
+  * GO — gradient descent on a quaternion+translation pose param against
+    the rendering losses (/root/reference/mipsfusion.py:470-576),
+    with best-loss pose selection carried through a lax.scan.
+
+Both operate in the active submap's local coordinate frame.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models import scene_rep as sr
+from ..ops.geometry import _mm, qt_to_matrix, quaternion_to_matrix, matrix_to_quaternion
+
+
+# ---------------------------------------------------------------------------
+# RO: random (particle swarm) optimizer
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class ROConfig:
+    particle_size: int = 2000
+    initial_scaling_factor: float = 0.02   # ref RO.initial_scaling_factor
+    rescaling_factor: float = 0.5          # ref RO.rescaling_factor
+    n_rows: int = 16
+    n_cols: int = 24
+    n_iters: int = 5
+    sdf_weight: float = 1000.0
+
+    @staticmethod
+    def from_dict(cfg: dict) -> "ROConfig":
+        ro = cfg["tracking"]["RO"]
+        return ROConfig(
+            particle_size=ro["particle_size"],
+            initial_scaling_factor=ro["initial_scaling_factor"],
+            rescaling_factor=ro["rescaling_factor"],
+            n_rows=ro["n_rows"], n_cols=ro["n_cols"],
+            n_iters=cfg["tracking"]["iter_RO"],
+        )
+
+
+def make_pst(key: jax.Array, cfg: ROConfig) -> jnp.ndarray:
+    """Pre-sampled particle swarm template [P, 6] ~ N(0, I), clamped to
+    +-2, particle 0 pinned to identity (ref RandomOptimizer.py:26-32)."""
+    pst = jax.random.normal(key, (cfg.particle_size, 6))
+    pst = jnp.clip(pst, -2.0, 2.0)
+    return pst.at[0].set(0.0)
+
+
+def ro_pixel_grid(H: int, W: int, cfg: ROConfig):
+    """Uniform pixel grid used by RO (ref RandomOptimizer.py:42-43)."""
+    rows = jnp.linspace(0, H - 1, cfg.n_rows).astype(jnp.int32)
+    cols = jnp.linspace(0, W - 1, cfg.n_cols).astype(jnp.int32)
+    rr, cc = jnp.meshgrid(rows, cols, indexing="ij")
+    # the per-iter offset (iter % 5) must stay in range
+    return (jnp.clip(rr.reshape(-1), 0, H - 5),
+            jnp.clip(cc.reshape(-1), 0, W - 5))
+
+
+def _pose_6d_to_7d(p6: jnp.ndarray) -> jnp.ndarray:
+    """[P,6] (qx,qy,qz,tx,ty,tz) -> [P,7] (qw,qx,qy,qz,t) (ref :54-60)."""
+    imag_sq = jnp.sum(p6[:, :3] ** 2, axis=-1)
+    qw = jnp.where(imag_sq <= 1.0, jnp.sqrt(jnp.maximum(1.0 - imag_sq, 0.0)),
+                   0.0)[:, None]
+    return jnp.concatenate([qw, p6], axis=-1)
+
+
+def ro_optimize(field_params: Dict, fcfg: sr.FieldConfig,
+                consts: sr.FieldConsts, rcfg: ROConfig,
+                pst: jnp.ndarray, depth_img: jnp.ndarray,
+                rays_dir_img: jnp.ndarray, initial_pose: jnp.ndarray,
+                row_idx: jnp.ndarray, col_idx: jnp.ndarray,
+                n_iters: int) -> jnp.ndarray:
+    """Run the particle-swarm search; returns the refined pose [4, 4].
+
+    Semantics mirror RandomOptimizer.optimize (ref :164-227): per iter,
+    back-project a shifted uniform pixel grid, evaluate |SDF| under all
+    candidate poses in one batched query, weighted-mean the advanced
+    particles, and rescale the per-axis search size by the mean SDF.
+    """
+
+    def fitness(rot, trans, pts_cam, valid):
+        # [P,3,3] @ [n,3] -> [P,n,3] world (local-frame) points
+        world = jnp.einsum("pij,nj->pni", rot, pts_cam, precision=jax.lax.Precision.HIGHEST)
+        world = world + trans[:, None, :]
+        sdf = sr.run_network(field_params, world, fcfg, consts)[..., 3] * fcfg.trunc
+        mean_sdf = jnp.mean(valid[None, :] * jnp.abs(sdf), axis=-1)  # [P]
+        return mean_sdf * rcfg.sdf_weight, mean_sdf
+
+    def body(i, carry):
+        rot, trans, search_size = carry
+        off = jnp.mod(i, 5)
+        d = depth_img[row_idx + off, col_idx + off][:, None]     # [n,1]
+        dirs = rays_dir_img[row_idx + off, col_idx + off]        # [n,3]
+        pts_cam = dirs * d
+        valid = (d[:, 0] > 0.0).astype(jnp.float32)
+
+        pst_scaled = pst * search_size                            # [P,6]
+        pst7 = _pose_6d_to_7d(pst_scaled)                         # [P,7]
+        delta_R = quaternion_to_matrix(pst7[:, :4])               # [P,3,3]
+        abs_rot = jnp.einsum("ij,pjk->pik", rot, delta_R,
+                             precision=jax.lax.Precision.HIGHEST)
+        abs_trans = trans[None, :] + pst7[:, 4:]                  # [P,3]
+
+        fit, mean_sdf = fitness(abs_rot, abs_trans, pts_cam, valid)
+
+        f0 = fit[0]
+        better = (fit < f0).astype(jnp.float32)
+        weights = (f0 - fit) * better
+        wsum = jnp.sum(weights) + 1e-5
+        success = jnp.count_nonzero(better) > 0
+
+        mean_sdf_aps = jnp.where(success,
+                                 jnp.sum(weights * mean_sdf) / wsum,
+                                 mean_sdf[0])
+
+        mean_tf = jnp.sum(pst7 * weights[:, None], axis=0) / wsum  # [7]
+        quat = mean_tf[:4] / (jnp.linalg.norm(mean_tf[:4]) + 1e-5)
+        mean_tf = jnp.where(
+            success,
+            jnp.concatenate([quat, mean_tf[4:]]),
+            jnp.asarray([1.0, 0, 0, 0, 0, 0, 0], mean_tf.dtype))
+
+        dR = quaternion_to_matrix(mean_tf[:4])
+        rot_new = jnp.where(success, _mm(rot, dR), rot)
+        trans_new = jnp.where(success, trans + mean_tf[4:], trans)
+
+        # search size update (ref :154-157)
+        s = jnp.abs(mean_tf[1:]) + 1e-4                           # [6]
+        ss = rcfg.rescaling_factor * mean_sdf_aps * s / jnp.linalg.norm(s) + 1e-4
+        search_size_new = jnp.where(success, ss, ss * 2.0)[None, :]
+        return rot_new, trans_new, search_size_new
+
+    rot0 = initial_pose[:3, :3]
+    trans0 = initial_pose[:3, 3]
+    ss0 = jnp.full((1, 6), rcfg.initial_scaling_factor)
+    rot, trans, _ = jax.lax.fori_loop(0, n_iters, body, (rot0, trans0, ss0))
+    T = jnp.eye(4, dtype=initial_pose.dtype)
+    T = T.at[:3, :3].set(rot).at[:3, 3].set(trans)
+    return T
+
+
+# ---------------------------------------------------------------------------
+# GO: gradient pose optimization
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class GOConfig:
+    n_iters: int = 10
+    n_rays: int = 1000
+    lr_rot: float = 0.001
+    lr_trans: float = 0.001
+    ignore_edge_w: int = 20
+    ignore_edge_h: int = 20
+    best: bool = True
+
+    @staticmethod
+    def from_dict(cfg: dict) -> "GOConfig":
+        t = cfg["tracking"]
+        return GOConfig(n_iters=t["iter"], n_rays=t["sample"],
+                        lr_rot=t["lr_rot"], lr_trans=t["lr_trans"],
+                        ignore_edge_w=t["ignore_edge_W"],
+                        ignore_edge_h=t["ignore_edge_H"],
+                        best=bool(t["best"]))
+
+
+def _pose_optim(gcfg: GOConfig):
+    return optax.multi_transform(
+        {"rot": optax.adam(gcfg.lr_rot), "trans": optax.adam(gcfg.lr_trans)},
+        {"rot": "rot", "trans": "trans"})
+
+
+def go_optimize(field_params: Dict, fcfg: sr.FieldConfig,
+                consts: sr.FieldConsts, gcfg: GOConfig,
+                key: jax.Array, rays_d_cam: jnp.ndarray,
+                target_rgb: jnp.ndarray, target_d: jnp.ndarray,
+                initial_pose: jnp.ndarray, n_iters: int,
+                lw: sr.LossWeights) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Gradient refinement of a pose against fixed sampled rays.
+
+    Mirrors the GO stage of tracking_render (ref mipsfusion.py:490-563):
+    pose = (quat, trans) optimized by Adam; the loss BEFORE each update
+    competes for the best pose; EMD classification terms are disabled
+    during tracking (EMD_w=0, ref :533). Returns (pose [4,4], best loss).
+    """
+    quat0 = matrix_to_quaternion(initial_pose[:3, :3])
+    params0 = {"rot": quat0, "trans": initial_pose[:3, 3]}
+    opt = _pose_optim(gcfg)
+    opt_state0 = opt.init(params0)
+
+    def loss_fn(p, k):
+        T = qt_to_matrix(p["rot"], p["trans"])
+        rays_d = rays_d_cam @ T[:3, :3].T
+        rays_o = jnp.broadcast_to(T[:3, 3], rays_d.shape)
+        ret = sr.forward_losses(field_params, k, rays_o, rays_d,
+                                target_rgb, target_d, fcfg, consts,
+                                emd_w=0.0)
+        return sr.total_loss(ret, lw)
+
+    def step(carry, k):
+        p, opt_state, best_loss, best_p = carry
+        loss, g = jax.value_and_grad(loss_fn)(p, k)
+        improved = loss < best_loss
+        best_loss = jnp.where(improved, loss, best_loss)
+        best_p = jax.tree.map(
+            lambda bp, cp: jnp.where(improved, cp, bp), best_p, p)
+        updates, opt_state = opt.update(g, opt_state, p)
+        p = optax.apply_updates(p, updates)
+        return (p, opt_state, best_loss, best_p), loss
+
+    keys = jax.random.split(key, n_iters)
+    (p_last, _, best_loss, best_p), _ = jax.lax.scan(
+        step, (params0, opt_state0, jnp.inf, params0), keys)
+
+    p_final = best_p if gcfg.best else p_last
+    return qt_to_matrix(p_final["rot"], p_final["trans"]), best_loss
+
+
+def sample_pixels_mix(key: jax.Array, H: int, W: int, n_rows: int,
+                      n_cols: int, depth_img: jnp.ndarray, n_total: int):
+    """Uniform-grid + valid-random pixel mix (ref sampling_helper.py:20-68).
+
+    The uniform grid contributes n_rows*n_cols pixels; the remainder is
+    drawn randomly, weighted toward valid-depth pixels.
+    """
+    rows = jnp.linspace(0, H - 1, n_rows).astype(jnp.int32)
+    cols = jnp.linspace(0, W - 1, n_cols).astype(jnp.int32)
+    rr, cc = jnp.meshgrid(rows, cols, indexing="ij")
+    rr, cc = rr.reshape(-1), cc.reshape(-1)
+    n_rand = n_total - rr.shape[0]
+    if n_rand <= 0:
+        return rr[:n_total], cc[:n_total]
+    # valid-biased random sampling: add noise to validity, take top-k
+    valid = (depth_img > 0.0).astype(jnp.float32).reshape(-1)
+    score = valid + jax.random.uniform(key, valid.shape)
+    _, idx = jax.lax.top_k(score, n_rand)
+    return (jnp.concatenate([rr, (idx // W).astype(jnp.int32)]),
+            jnp.concatenate([cc, (idx % W).astype(jnp.int32)]))
+
+
+class TrackResult(NamedTuple):
+    pose: jnp.ndarray
+    loss: jnp.ndarray
+
+
+@partial(jax.jit, static_argnames=("fcfg", "rcfg", "gcfg", "n_iter_ro",
+                                   "n_iter_go"))
+def track_frame(field_params: Dict, fcfg: sr.FieldConfig,
+                consts: sr.FieldConsts, rcfg: ROConfig, gcfg: GOConfig,
+                pst: jnp.ndarray, key: jax.Array,
+                rgb_img: jnp.ndarray, depth_img: jnp.ndarray,
+                rays_dir_img: jnp.ndarray, prev_pose: jnp.ndarray,
+                prev_prev_pose: jnp.ndarray, use_const_speed: jnp.ndarray,
+                lw: sr.LossWeights, n_iter_ro: int,
+                n_iter_go: int) -> TrackResult:
+    """Full per-frame tracking: motion model -> RO -> GO. One jitted call.
+
+    Mirrors tracking_render (ref mipsfusion.py:470-563) with the
+    constant-velocity prediction of predict_current_pose (ref :448-458).
+    """
+    from ..ops.geometry import pose_inverse
+
+    H, W = depth_img.shape
+    delta = _mm(prev_pose, pose_inverse(prev_prev_pose))
+    pred = jnp.where(use_const_speed, _mm(delta, prev_pose), prev_pose)
+
+    k_ro, k_px, k_go = jax.random.split(key, 3)
+
+    pose = pred
+    if n_iter_ro > 0:
+        row_idx, col_idx = ro_pixel_grid(H, W, rcfg)
+        pose = ro_optimize(field_params, fcfg, consts, rcfg, pst,
+                           depth_img, rays_dir_img, pose, row_idx,
+                           col_idx, n_iter_ro)
+
+    # pixel selection for GO (fixed across iterations, ref :504-522)
+    rr, cc = sample_pixels_mix(k_px, H, W, rcfg.n_rows, rcfg.n_cols,
+                               depth_img, gcfg.n_rays)
+    rays_d_cam = rays_dir_img[rr, cc]
+    target_rgb = rgb_img[rr, cc]
+    target_d = depth_img[rr, cc][:, None]
+
+    pose, loss = go_optimize(field_params, fcfg, consts, gcfg, k_go,
+                             rays_d_cam, target_rgb, target_d, pose,
+                             n_iter_go, lw)
+    return TrackResult(pose=pose, loss=loss)

@@ -193,3 +193,75 @@ def test_training_reduces_loss():
         params, state, loss = step(params, state, jax.random.PRNGKey(i))
         losses.append(float(loss))
     assert losses[-1] < losses[0] * 0.7, losses
+
+
+# ---------------------------------------------------------------------------
+# Triplane encoding (TPU-native fast path)
+# ---------------------------------------------------------------------------
+
+def test_triplane_matches_direct_bilinear():
+    import jax, jax.numpy as jnp
+    from mipsfusion_tpu.ops.encoding import (TriplaneConfig, init_triplane,
+                                             triplane_encode)
+    cfg = TriplaneConfig(resolutions=(8, 16), n_features=3)
+    planes = init_triplane(jax.random.PRNGKey(0), cfg)
+    # overwrite with structured values for a readable check
+    planes = {k: jax.random.normal(jax.random.PRNGKey(i), v.shape)
+              for i, (k, v) in enumerate(planes.items())}
+    rng = np.random.default_rng(0)
+    x = rng.uniform(0.02, 0.98, (50, 3)).astype(np.float32)
+
+    out = np.asarray(triplane_encode(planes, jnp.asarray(x), cfg))
+
+    def bilerp(plane, u, v):
+        R = plane.shape[0]
+        pu, pv = u * (R - 1), v * (R - 1)
+        i0, j0 = int(np.floor(pu)), int(np.floor(pv))
+        wu, wv = pu - i0, pv - j0
+        p = np.asarray(plane)
+        return ((1 - wu) * (1 - wv) * p[i0, j0]
+                + wu * (1 - wv) * p[i0 + 1, j0]
+                + (1 - wu) * wv * p[i0, j0 + 1]
+                + wu * wv * p[i0 + 1, j0 + 1])
+
+    for n in range(0, 50, 7):
+        expected = []
+        for i, R in enumerate(cfg.resolutions):
+            p = np.asarray(planes[f"s{i}"])
+            f = (bilerp(p[0], x[n, 0], x[n, 1])
+                 + bilerp(p[1], x[n, 0], x[n, 2])
+                 + bilerp(p[2], x[n, 1], x[n, 2]))
+            expected.append(f)
+        np.testing.assert_allclose(out[n], np.concatenate(expected),
+                                   atol=1e-4)
+
+
+def test_triplane_chunking_consistent():
+    import jax, jax.numpy as jnp
+    from mipsfusion_tpu.ops.encoding import (TriplaneConfig, init_triplane,
+                                             triplane_encode)
+    cfg = TriplaneConfig(resolutions=(16,), n_features=2)
+    planes = {k: jax.random.normal(jax.random.PRNGKey(1), v.shape)
+              for k, v in init_triplane(jax.random.PRNGKey(0), cfg).items()}
+    x = jax.random.uniform(jax.random.PRNGKey(2), (100, 3))
+    full = triplane_encode(planes, x, cfg, chunk=1000)
+    chunked = triplane_encode(planes, x, cfg, chunk=32)
+    np.testing.assert_allclose(np.asarray(full), np.asarray(chunked),
+                               atol=1e-5)
+
+
+def test_triplane_gradient_is_interp_weights():
+    import jax, jax.numpy as jnp
+    from mipsfusion_tpu.ops.encoding import (TriplaneConfig, init_triplane,
+                                             triplane_encode)
+    cfg = TriplaneConfig(resolutions=(8,), n_features=1)
+    planes = init_triplane(jax.random.PRNGKey(0), cfg)
+    x = jnp.asarray([[0.5, 0.5, 0.5]])
+
+    g = jax.grad(lambda p: triplane_encode(p, x, cfg).sum())(planes)
+    gp = np.asarray(g["s0"])
+    # gradient mass per plane must equal 1 (bilinear weights sum to 1)
+    np.testing.assert_allclose(gp.reshape(3, -1).sum(-1), np.ones(3),
+                               atol=1e-5)
+    # and be concentrated on <= 4 cells per plane
+    assert (np.abs(gp[0]) > 1e-8).sum() <= 4

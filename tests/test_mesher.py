@@ -1,0 +1,118 @@
+"""Tests for the native marching extraction and the Mesher."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mipsfusion_tpu.mesher.marching import marching_cubes, _marching_py
+
+
+def sphere_tsdf(n=32, r=0.3, trunc=0.2):
+    ax = np.linspace(-0.5, 0.5, n, dtype=np.float32)
+    gx, gy, gz = np.meshgrid(ax, ax, ax, indexing="ij")
+    d = np.sqrt(gx**2 + gy**2 + gz**2) - r
+    return np.clip(d, -trunc + 1e-4, trunc - 1e-4).astype(np.float32), ax
+
+
+def test_marching_sphere_native():
+    vol, ax = sphere_tsdf()
+    verts, faces = marching_cubes(vol, 0.0, 0.25)
+    assert len(verts) > 100 and len(faces) > 100
+    # vertices lie near the sphere surface
+    voxel = ax[1] - ax[0]
+    pts = -0.5 + verts * voxel
+    r = np.linalg.norm(pts, axis=-1)
+    assert np.abs(r - 0.3).max() < 0.03, np.abs(r - 0.3).max()
+    # faces index valid vertices
+    assert faces.max() < len(verts) and faces.min() >= 0
+
+
+def test_marching_truncation_rejection():
+    vol, _ = sphere_tsdf(trunc=0.2)
+    # poison a corner region with +/-truncation values: cubes there must
+    # be skipped without crashing
+    vol2 = vol.copy()
+    vol2[:8, :8, :8] = 0.25
+    verts1, _ = marching_cubes(vol, 0.0, 0.2)
+    verts2, faces2 = marching_cubes(vol2, 0.0, 0.2)
+    assert len(verts2) > 0
+    # and non-finite values likewise
+    vol3 = vol.copy()
+    vol3[:4] = np.nan
+    verts3, _ = marching_cubes(vol3, 0.0, 0.25)
+    assert np.isfinite(verts3).all()
+
+
+def test_native_matches_python_fallback():
+    vol, _ = sphere_tsdf(n=12)
+    vn, fn = marching_cubes(vol, 0.0, 0.25)
+    vp, fp = _marching_py(vol, 0.0, 0.25)
+    assert len(vn) == len(vp)
+    assert len(fn) == len(fp)
+    # same welded vertex sets (order may differ)
+    sn = set(map(tuple, np.round(vn, 4)))
+    sp = set(map(tuple, np.round(vp, 4)))
+    assert sn == sp
+
+
+def test_mesher_on_trained_field():
+    """Train a tiny field on an analytic sphere SDF and mesh it."""
+    from mipsfusion_tpu.models import scene_rep as sr
+    from mipsfusion_tpu.models.decoder import DecoderConfig
+    from mipsfusion_tpu.ops.encoding import TriplaneConfig, FrequencyConfig
+    from mipsfusion_tpu.mesher import Mesher, MeshConfig
+    import optax
+
+    tri = TriplaneConfig(resolutions=(16, 32), n_features=2)
+    freq = FrequencyConfig(n_frequencies=2)
+    fcfg = sr.FieldConfig(
+        enc="Triplane", tri=tri, freq=freq,
+        decoder=DecoderConfig(input_ch=tri.out_dim,
+                              input_ch_pos=freq.out_dim + 3),
+        trunc=0.3)
+    consts = sr.FieldConsts.from_bound(
+        jnp.asarray([[-1.0, 1.0], [-1.0, 1.0], [-1.0, 1.0]]))
+    params = sr.init_field_params(jax.random.PRNGKey(0), fcfg)
+
+    # supervise query_sdf directly against a sphere SDF (radius 0.5)
+    opt = optax.adam(5e-3)
+    state = opt.init(params)
+
+    @jax.jit
+    def step(params, state, key):
+        k1, k2, k3 = jax.random.split(key, 3)
+        # half uniform, half in a radial shell around the surface so the
+        # sphere interior (negative SDF) is well represented
+        pts_u = jax.random.uniform(k1, (512, 3), minval=-0.9, maxval=0.9)
+        dirs = jax.random.normal(k2, (512, 3))
+        dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+        radii = jax.random.uniform(k3, (512, 1), minval=0.1, maxval=0.9)
+        pts = jnp.concatenate([pts_u, dirs * radii], axis=0)
+        target = jnp.linalg.norm(pts, axis=-1) - 0.5
+
+        def loss_fn(p):
+            sdf = sr.query_sdf(p, pts, fcfg, consts)[:, 0] * fcfg.trunc
+            return jnp.mean((sdf - jnp.clip(target, -0.29, 0.29)) ** 2)
+
+        loss, g = jax.value_and_grad(loss_fn)(params)
+        upd, state = opt.update(g, state, params)
+        return optax.apply_updates(params, upd), state, loss
+
+    key = jax.random.PRNGKey(1)
+    for i in range(400):
+        key, k = jax.random.split(key)
+        params, state, loss = step(params, state, k)
+    assert float(loss) < 5e-3, float(loss)
+
+    mesher = Mesher(fcfg, consts, MeshConfig(voxel_size=0.08))
+    # field SDF is in units of trunc: extractor sees sdf in [-1, 1]
+    verts, faces, colors = mesher.extract_single_mesh(
+        np.eye(4), np.zeros(3), np.array([1.8, 1.8, 1.8]),
+        trunc=0.95, params=params) if False else \
+        mesher.extract_single_mesh(params, np.eye(4), np.zeros(3),
+                                   np.array([1.8, 1.8, 1.8]), trunc=0.95)
+    assert len(verts) > 50
+    r = np.linalg.norm(verts, axis=-1)
+    # mesh approximates the 0.5-radius sphere
+    assert abs(np.median(r) - 0.5) < 0.08, np.median(r)

@@ -1,0 +1,89 @@
+"""Integration test: multi-submap SLAM on a corridor trajectory.
+
+The camera translates across the room, exceeding localMLP_max_len, so
+the Manager must allocate new submaps (msg3), bind keyframes (msg1/2),
+and the trajectory must remain consistent when lifted through the
+submap anchor poses. The background refinement step (InactiveMap
+round-robin analog) runs interleaved once >1 submap exists.
+"""
+
+import numpy as np
+import pytest
+
+from mipsfusion_tpu.datasets.synthetic import SyntheticDataset
+from mipsfusion_tpu.slam.system import MIPSFusionTPU
+from test_slam_single import tiny_config
+
+
+def multi_config(n_frames=48):
+    cfg = tiny_config(n_frames)
+    cfg["use_manager"] = True
+    cfg["synthetic"]["trajectory"] = "corridor"
+    cfg["synthetic"]["span"] = 0.55
+    # small submaps force allocation as the camera traverses the room
+    cfg["mapping"]["localMLP_max_len"] = [2.0, 2.0, 2.0]
+    cfg["mapping"]["localMLP_max_len_back"] = [2.0, 2.0, 2.0]
+    cfg["mapping"]["min_cr_localMLP_len"] = [1.5, 1.5, 1.5]
+    cfg["mapping"]["min_containing_ratio"] = 0.75
+    cfg["mapping"]["min_containing_ratio_mo"] = 0.6
+    cfg["mapping"]["min_containing_ratio_back"] = 0.5
+    cfg["mapping"]["overlapping"] = {"n_rays_h": 12, "n_rays_w": 16,
+                                     "min_pts": 40}
+    cfg["tracking"]["switch"] = {
+        "lr_rot": 0.001, "lr_trans": 0.001, "align_threshold": 0.05,
+        "including_last": 0, "min_correspondence": 2000,
+        "min_trans_dist": 0.5, "map_num": 6, "iter_RO": 3, "iter": 6,
+    }
+    cfg["mapping"]["global_BA"] = {"key_edge_weight": 0.1}
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def multi_run():
+    cfg = multi_config()
+    ds = SyntheticDataset(cfg, n_frames=cfg["synthetic"]["n_frames"],
+                          trajectory="corridor",
+                          span=cfg["synthetic"]["span"])
+    slam = MIPSFusionTPU(cfg, dataset=ds)
+    results = slam.run(verbose=False)
+    return slam, results
+
+
+def test_multiple_submaps_created(multi_run):
+    slam, results = multi_run
+    assert results["n_submaps"] >= 2, results
+    st = slam.state
+    # every created submap has a first keyframe with ref -1 and an anchor
+    used = int(np.asarray(st.localMLP_info[:, 0]).sum())
+    for m in range(used):
+        fk = int(st.localMLP_first_kf[m])
+        assert fk >= 0
+        assert int(st.keyframe_ref[fk]) == -1
+        anchor = np.asarray(st.kf_c2w[fk])
+        assert np.isfinite(anchor).all()
+        # rotation part orthonormal
+        R = anchor[:3, :3]
+        np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-3)
+
+
+def test_keyframes_all_bound(multi_run):
+    slam, _ = multi_run
+    st = slam.state
+    n_kf = int(st.n_kf)
+    binds = np.asarray(st.keyframe_localMLP[:n_kf, 0])
+    assert (binds >= 0).all(), binds
+
+
+def test_trajectory_stays_reasonable(multi_run):
+    _, results = multi_run
+    # multi-submap path with tiny budgets: generous bound, just not lost
+    assert results["absolute_translational_error.rmse"] < 0.15, results
+
+
+def test_submap_params_independent(multi_run):
+    slam, _ = multi_run
+    used = int(np.asarray(slam.state.localMLP_info[:, 0]).sum())
+    if used >= 2:
+        h0 = np.asarray(slam.submap_params[0]["hash"])
+        h1 = np.asarray(slam.submap_params[1]["hash"])
+        assert not np.allclose(h0, h1), "submap params must diverge"
