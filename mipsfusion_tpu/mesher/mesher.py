@@ -62,13 +62,21 @@ class Mesher:
         self._query = _query
 
     def query_grid(self, params: Dict, pts_local: np.ndarray) -> np.ndarray:
-        """Chunked device query -> [N, 5] (rgb, sdf, entropy)."""
+        """Chunked device query -> [N, 5] (rgb, sdf, entropy).
+
+        The final ragged chunk is zero-padded to the fixed chunk size so
+        the jitted query compiles exactly once per param shape.
+        """
         n = pts_local.shape[0]
-        chunk = self.cfg.query_chunk
+        chunk = min(self.cfg.query_chunk, max(n, 1))
         outs = []
         for s in range(0, n, chunk):
-            seg = jnp.asarray(pts_local[s:s + chunk])
-            outs.append(np.asarray(self._query(params, seg)))
+            seg = pts_local[s:s + chunk]
+            pad = chunk - seg.shape[0]
+            if pad:
+                seg = np.pad(seg, ((0, pad), (0, 0)))
+            out = np.asarray(self._query(params, jnp.asarray(seg)))
+            outs.append(out[:chunk - pad] if pad else out)
         return np.concatenate(outs, axis=0)
 
     # ------------------------------------------------------------------

@@ -34,6 +34,9 @@ class DecoderConfig:
     n_hidden_sdf: int = 64
     n_hidden_branch: int = 128
     n_class: int = 5
+    # bf16 matmul inputs w/ f32 accumulation: full MXU rate on TPU
+    # (f32 matmul is ~8x slower on v5e); enabled by the system on TPU
+    bf16: bool = False
 
 
 def _linear_init(key, fan_in: int, fan_out: int, dtype=jnp.float32):
@@ -62,7 +65,11 @@ def init_decoder_params(key: jax.Array, cfg: DecoderConfig,
     }
 
 
-def _dense(p, x):
+def _dense(p, x, bf16=False):
+    if bf16:
+        return jnp.matmul(x.astype(jnp.bfloat16),
+                          p["w"].astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32) + p["b"]
     return x @ p["w"] + p["b"]
 
 
@@ -70,17 +77,18 @@ def decoder_apply(params: Dict, embed: jnp.ndarray, embed_pos: jnp.ndarray,
                   query_pts: jnp.ndarray, cfg: DecoderConfig) -> jnp.ndarray:
     """Forward: hash feats [N,Ch], PE [N,Cp], raw pts [N,3] -> [N, 5+n_class]."""
     pe = jnp.concatenate([query_pts, embed_pos], axis=-1)
+    bf = cfg.bf16
 
-    h = jax.nn.relu(_dense(params["trunk0"], pe))
-    h = _dense(params["trunk1"], h)
+    h = jax.nn.relu(_dense(params["trunk0"], pe, bf))
+    h = _dense(params["trunk1"], h, bf)
     sdf_emb = h[:, : cfg.n_hidden_sdf]
     rgb_emb = h[:, cfg.n_hidden_sdf:]
 
-    rgb = _dense(params["rgb"], jnp.concatenate([rgb_emb, pe], axis=-1))
+    rgb = _dense(params["rgb"], jnp.concatenate([rgb_emb, pe], axis=-1), bf)
 
     h2 = jax.nn.relu(_dense(params["sdf0"],
-                            jnp.concatenate([sdf_emb, embed], axis=-1)))
-    logits = _dense(params["sdf1"], h2)
+                            jnp.concatenate([sdf_emb, embed], axis=-1), bf))
+    logits = _dense(params["sdf1"], h2, bf)
     prob = jax.nn.softmax(logits, axis=-1)
 
     entropy = -jnp.sum(prob * jnp.log2(prob + 1e-5), axis=-1, keepdims=True)

@@ -42,6 +42,21 @@ from . import state as slam_state
 from . import tracker
 
 
+@jax.jit
+def _post_track_update(est_c2w, est_c2w_rel, keyframe_ref, pose, i,
+                       kf_frame, kf_id, is_kf, switch_tracking,
+                       active_first_kf):
+    est_c2w = est_c2w.at[i].set(pose)
+    delta = pose_inverse(est_c2w[kf_frame]) @ pose
+    rel_new = jnp.where(is_kf, est_c2w_rel[i], delta)
+    est_c2w_rel = est_c2w_rel.at[i].set(rel_new)
+    ref_new = jnp.where(is_kf & ~switch_tracking,
+                        active_first_kf.astype(jnp.int32),
+                        keyframe_ref[kf_id])
+    keyframe_ref = keyframe_ref.at[kf_id].set(ref_new)
+    return est_c2w, est_c2w_rel, keyframe_ref
+
+
 class MIPSFusionTPU:
     """Online multi-implicit-submap RGB-D SLAM on TPU."""
 
@@ -60,10 +75,12 @@ class MIPSFusionTPU:
         if (self.fcfg.enc == "Triplane"
                 and "use_pallas" not in config.get("grid", {})
                 and jax.default_backend() not in ("cpu",)):
-            # Pallas kernels are the TPU fast path; the XLA fallback
-            # stays for CPU tests
+            # Pallas kernels + bf16 decoder matmuls are the TPU fast
+            # path; the XLA/f32 fallback stays for CPU tests
             import dataclasses as _dc
-            self.fcfg = _dc.replace(self.fcfg, use_pallas=True)
+            self.fcfg = _dc.replace(
+                self.fcfg, use_pallas=True,
+                decoder=_dc.replace(self.fcfg.decoder, bf16=True))
         self.rcfg = tracker.ROConfig.from_dict(config)
         self.gcfg = tracker.GOConfig.from_dict(config)
         self.mcfg = mapper.MapConfig.from_dict(config)
@@ -148,6 +165,11 @@ class MIPSFusionTPU:
         self.temp_local_pose: Optional[jnp.ndarray] = None
         self.do_global_ba = False
         self.key_kf_id = -1
+
+        # jitted wrappers over pure state->array helpers (eager per-op
+        # dispatch through the remote-TPU tunnel is the alternative)
+        self._extract_poses_jit = jax.jit(self.extract_submap_kf_poses)
+        self._writeback_jit = jax.jit(self.writeback_ba_poses)
 
         # host-side trackers
         self.track_losses: List[float] = []
@@ -327,17 +349,19 @@ class MIPSFusionTPU:
             rgb, depth, direction, prev, prev_prev, use_cs, self.lw,
             n_ro, n_go)
 
-        st = st._replace(est_c2w=st.est_c2w.at[i].set(res.pose))
-
-        # relative-pose bookkeeping (ref :558-576)
-        if i % self.keyframe_every != 0:
-            kf_frame = (i // self.keyframe_every) * self.keyframe_every
-            delta = pose_inverse(st.est_c2w[kf_frame]) @ res.pose
-            st = st._replace(est_c2w_rel=st.est_c2w_rel.at[i].set(delta))
-        elif not switch_tracking:
-            kf_id = i // self.keyframe_every
-            st = st._replace(keyframe_ref=st.keyframe_ref.at[kf_id].set(
-                st.active_first_kf.astype(jnp.int32)))
+        # single-dispatch state update (pose store + rel-pose/kf-ref
+        # bookkeeping, ref :558-576) — eager per-op dispatches dominate
+        # frame time through the remote-TPU tunnel otherwise
+        kf_id = i // self.keyframe_every
+        kf_frame = kf_id * self.keyframe_every
+        is_kf = (i % self.keyframe_every == 0)
+        est_c2w, est_c2w_rel, keyframe_ref = _post_track_update(
+            st.est_c2w, st.est_c2w_rel, st.keyframe_ref, res.pose,
+            jnp.asarray(i), jnp.asarray(kf_frame), jnp.asarray(kf_id),
+            jnp.asarray(is_kf), jnp.asarray(bool(switch_tracking)),
+            st.active_first_kf)
+        st = st._replace(est_c2w=est_c2w, est_c2w_rel=est_c2w_rel,
+                         keyframe_ref=keyframe_ref)
         self.state = st
         self.track_losses.append(float(res.loss))
 
@@ -351,7 +375,7 @@ class MIPSFusionTPU:
         valid_ids = jnp.where(kf_mask, jnp.arange(kf_mask.shape[0]), -1)
         last_kf = jnp.max(valid_ids)
 
-        poses_local = self.extract_submap_kf_poses(st, st.active_submap_id)
+        poses_local = self._extract_poses_jit(st, st.active_submap_id)
 
         frame_rays = slam_state.make_frame_rays(direction, rgb, depth)
         mcfg = self.mcfg
@@ -369,8 +393,8 @@ class MIPSFusionTPU:
         self.map_opt_state = res.map_opt_state
 
         opt_poses = qt_to_matrix(res.kf_quat, res.kf_trans)  # [K,4,4]
-        st = self.writeback_ba_poses(st, int(st.active_submap_id),
-                                     kf_mask, opt_poses)
+        st = self._writeback_jit(st, int(st.active_submap_id),
+                                 kf_mask, opt_poses)
         if self.optim_cur:
             st = st._replace(est_c2w=st.est_c2w.at[i].set(
                 qt_to_matrix(res.cur_quat, res.cur_trans)))

@@ -1,0 +1,79 @@
+"""Offline mesh extraction CLI from a saved checkpoint.
+
+Parity with /root/reference/vis/render_mesh.py:42-94:
+``python vis/render_mesh.py --config <yaml> --seq_result <out_dir>
+  --ckpt <frame|final>`` reloads the per-submap field params + state
+tensors and extracts per-submap meshes plus the joint
+entropy/distance-fused mesh.
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", type=str, required=True)
+    parser.add_argument("--seq_result", type=str, required=True,
+                        help="output dir of the SLAM run")
+    parser.add_argument("--ckpt", type=str, default="final")
+    parser.add_argument("--voxel_size", type=float, default=None)
+    parser.add_argument("--no_joint", action="store_true")
+    args = parser.parse_args()
+
+    from mipsfusion_tpu.config import load_config
+    from mipsfusion_tpu.mesher import Mesher, MeshConfig
+    from mipsfusion_tpu.mesher.mesher import save_mesh_ply
+    from mipsfusion_tpu.models import scene_rep as sr
+    from mipsfusion_tpu.slam.checkpoint import load_ckpt
+    import jax.numpy as jnp
+
+    cfg = load_config(args.config)
+    ckpt_dir = os.path.join(args.seq_result, f"ckpt_{args.ckpt}")
+    state, submap_params, extra = load_ckpt(ckpt_dir)
+
+    fcfg = sr.FieldConfig.from_dict(cfg)
+    m = cfg["mapping"]
+    if fcfg.use_bound_normalize:
+        consts = sr.FieldConsts.from_bound(jnp.asarray(m["bound"]))
+    else:
+        consts = sr.FieldConsts.from_norm_factor(
+            jnp.asarray(m["localMLP_max_len"]))
+
+    voxel = args.voxel_size or cfg.get("mesh", {}).get("voxel_final", 0.03)
+    mesher = Mesher(fcfg, consts, MeshConfig(voxel_size=voxel))
+    bound = np.asarray(m.get("marching_cubes_bound", m["bound"]))
+
+    info = np.asarray(state.localMLP_info)
+    used = int(info[:, 0].sum())
+    first_kf = np.asarray(state.localMLP_first_kf)
+    kf_c2w = np.asarray(state.kf_c2w)
+    anchors = kf_c2w[first_kf[:used]]
+
+    for i in range(used):
+        if submap_params[i] is None:
+            continue
+        verts, faces, colors = mesher.extract_single_mesh(
+            submap_params[i], anchors[i], info[i, 1:4], info[i, 4:7],
+            trunc=0.99, bound_world=bound)
+        out = os.path.join(args.seq_result, f"mesh_{i}_{args.ckpt}.ply")
+        save_mesh_ply(out, verts, faces, colors)
+        print(f"submap {i}: {len(verts)} verts {len(faces)} faces -> {out}")
+
+    if not args.no_joint and used > 1:
+        params = [submap_params[i] for i in range(used)]
+        verts, faces, colors = mesher.extract_mesh_jointly(
+            params, anchors, info[:used, 1:4], info[:used, 4:7],
+            trunc=0.99, bound_world=bound)
+        out = os.path.join(args.seq_result, f"mesh_joint_{args.ckpt}.ply")
+        save_mesh_ply(out, verts, faces, colors)
+        print(f"joint: {len(verts)} verts {len(faces)} faces -> {out}")
+
+
+if __name__ == "__main__":
+    main()
