@@ -81,3 +81,51 @@ def get_sdf_loss(z_vals, target_d, predicted_sdf, sdf_prob, truncation,
         fs_loss, sdf_loss = fs_loss2, sdf_loss2
 
     return fs_loss, sdf_loss
+
+
+# ---------------------------------------------------------------------------
+# Cross-submap consistency losses (legacy SDF-consistency global BA path,
+# ref /root/reference/helper_functions/geometry_helper.py:225-236 and
+# InactiveMap.get_SDF_dif :149-192)
+# ---------------------------------------------------------------------------
+
+def sdf_consistency_loss(pred_sdf1, pred_sdf2, mask):
+    """Mean squared SDF difference over valid rays
+    (ref compute_avg_SDF_difference)."""
+    loss = jnp.sum(jnp.square(pred_sdf1 * mask - pred_sdf2 * mask))
+    n = jnp.count_nonzero(mask).astype(pred_sdf1.dtype) + 0.001
+    return loss / n
+
+
+def rgb_consistency_loss(pred_rgb1, pred_rgb2, mask):
+    """Mean squared per-ray photometric L1 over valid rays
+    (ref compute_avg_RGB_difference)."""
+    per_ray = jnp.where(mask[..., 0] > 0,
+                        jnp.sum(jnp.abs(pred_rgb1 - pred_rgb2), axis=-1),
+                        0.0)
+    n = jnp.count_nonzero(mask).astype(pred_rgb1.dtype) + 0.001
+    return jnp.sum(jnp.square(per_ray)) / n
+
+
+def cross_submap_consistency(params1, params2, fcfg, consts1, consts2,
+                             rays_d_cam, target_d, pose_local1,
+                             pose_local2, rgb_weight: float = 0.0):
+    """SDF (+ optional RGB) consistency of two submaps on shared surface
+    points (ref InactiveMap.get_SDF_dif :149-166): back-project the rays
+    in each submap's local frame, query both fields at the surface
+    points, and penalize disagreement. Used by the legacy
+    SDF-consistency global BA (ref global_BA_overlapping :375-473)."""
+    from ..models import scene_rep as sr
+
+    def surface_pts(pose):
+        dirs = rays_d_cam @ pose[:3, :3].T
+        return pose[:3, 3] + dirs * target_d
+
+    out1 = sr.run_network(params1, surface_pts(pose_local1), fcfg, consts1)
+    out2 = sr.run_network(params2, surface_pts(pose_local2), fcfg, consts2)
+    mask = (target_d > 0).astype(out1.dtype)
+    loss = sdf_consistency_loss(out1[..., 3:4], out2[..., 3:4], mask)
+    if rgb_weight > 0:
+        loss = loss + rgb_weight * rgb_consistency_loss(
+            out1[..., :3], out2[..., :3], mask)
+    return loss

@@ -105,3 +105,66 @@ def backproject_rays(rays: jnp.ndarray, poses: jnp.ndarray,
     dirs = jnp.einsum("nj,nij->ni", rays[:, :3], T[:, :3, :3], precision=_HI)
     pts = T[:, :3, 3] + dirs * d
     return pts, d[:, 0] > 0.0
+
+
+# ---------------------------------------------------------------------------
+# SVD (point-to-point) ICP — parity with the vendored pypose fragment
+# ---------------------------------------------------------------------------
+
+def svd_transform(src: jnp.ndarray, dst: jnp.ndarray,
+                  weights: jnp.ndarray) -> jnp.ndarray:
+    """Weighted closed-form rigid transform src -> dst (Kabsch/Arun).
+
+    Parity with the reference's vendored pypose svdtf
+    (/root/reference/external/Pypose_external/ICP.py:14-27), the
+    point-to-point solver its batched ICP uses.
+    """
+    w = weights / (jnp.sum(weights) + 1e-12)
+    cs = jnp.sum(src * w[:, None], axis=0)
+    cd = jnp.sum(dst * w[:, None], axis=0)
+    H = _mm(((src - cs) * w[:, None]).T, dst - cd)
+    U, _, Vt = jnp.linalg.svd(H)
+    det = jnp.linalg.det(_mm(Vt.T, U.T))
+    D = jnp.diag(jnp.asarray([1.0, 1.0, 1.0]) * 1.0).at[2, 2].set(det)
+    R = _mm(Vt.T, _mm(D, U.T))
+    t = cd - R @ cs
+    T = jnp.eye(4, dtype=src.dtype)
+    return T.at[:3, :3].set(R).at[:3, 3].set(t)
+
+
+@partial(jax.jit, static_argnames=("n_iters",))
+def icp_point_to_point(src: jnp.ndarray, src_valid: jnp.ndarray,
+                       dst: jnp.ndarray, dst_valid: jnp.ndarray,
+                       threshold: float, n_iters: int = 20) -> ICPResult:
+    """Classic nearest-neighbor + SVD ICP (point-to-point metric).
+
+    Parity with the vendored pypose ICP loop
+    (/root/reference/external/Pypose_external/ICP.py:30-109): NN
+    correspondences, Kabsch solve, iterate. Correspondences beyond
+    ``threshold`` are down-weighted to zero (static-shape masking
+    replaces the reference's plateau stepper early-exit).
+    """
+    big = jnp.asarray(1e10, src.dtype)
+
+    def step(T, _):
+        p = src @ T[:3, :3].T + T[:3, 3]
+        d2 = jnp.sum((p[:, None, :] - dst[None, :, :]) ** 2, axis=-1)
+        d2 = jnp.where(dst_valid[None, :], d2, big)
+        j = jnp.argmin(d2, axis=-1)
+        dmin = jnp.sqrt(jnp.take_along_axis(d2, j[:, None], 1)[:, 0])
+        w = (src_valid & (dmin < threshold)).astype(src.dtype)
+        dT = svd_transform(p, dst[j], w)
+        return _mm(dT, T), None
+
+    T0 = jnp.eye(4, dtype=src.dtype)
+    T, _ = jax.lax.scan(step, T0, None, length=n_iters)
+
+    p = src @ T[:3, :3].T + T[:3, 3]
+    d2 = jnp.sum((p[:, None, :] - dst[None, :, :]) ** 2, axis=-1)
+    d2 = jnp.where(dst_valid[None, :], d2, big)
+    dmin = jnp.sqrt(jnp.min(d2, axis=-1))
+    inlier = src_valid & (dmin < threshold)
+    n_in = jnp.sum(inlier)
+    rmse = jnp.sqrt(jnp.sum(jnp.where(inlier, dmin ** 2, 0.0))
+                    / jnp.maximum(n_in, 1))
+    return ICPResult(transform=T, n_inliers=n_in, rmse=rmse)

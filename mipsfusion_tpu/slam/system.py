@@ -187,8 +187,16 @@ class MIPSFusionTPU:
     # ------------------------------------------------------------------
 
     def _frame_arrays(self, frame: Dict):
-        return (jnp.asarray(frame["rgb"]), jnp.asarray(frame["depth"]),
-                jnp.asarray(frame["direction"]))
+        """One packed H2D transfer per frame (slicing happens on device;
+        three separate transfers triple the tunnel round-trips)."""
+        packed = np.concatenate(
+            [np.asarray(frame["direction"]), np.asarray(frame["rgb"]),
+             np.asarray(frame["depth"])[..., None]], axis=-1)
+        arr = jnp.asarray(packed)
+        # note: the packed layout IS the keyframe-ray layout
+        # (direction, rgb, depth) — reuse it instead of re-concatenating
+        self._packed_frame = arr
+        return arr[..., 3:6], arr[..., 6], arr[..., :3]
 
     def _next_key(self):
         self.key, k = jax.random.split(self.key)
@@ -313,7 +321,7 @@ class MIPSFusionTPU:
             keyframe_localMLP=st.keyframe_localMLP.at[0, 0].set(0),
         )
 
-        frame_rays = slam_state.make_frame_rays(direction, rgb, depth)
+        frame_rays = self._packed_frame
         params, opt_state, _ = mapper.init_submap_fit(
             self.submap_params[0], self.map_opt_state, self._next_key(),
             frame_rays.reshape(-1, 7), self.fcfg, self.consts, self.mcfg,
@@ -330,24 +338,19 @@ class MIPSFusionTPU:
         rgb, depth, direction = self._frame_arrays(frame)
         st = self.state
         if switch_tracking:
-            # re-track from the rectified pose with the switch budgets
-            prev = st.est_c2w[i]
-            prev_prev = prev
             use_cs = jnp.asarray(False)
             n_ro, n_go = self.sw_iter_ro, self.sw_iter_go
         else:
             use_cs = jnp.asarray(
                 self.config["tracking"]["const_speed"]
                 and (i - self.last_switch_frame) >= 2)
-            prev = st.est_c2w[i - 1]
-            prev_prev = st.est_c2w[max(i - 2, 0)]
             n_ro, n_go = self.rcfg.n_iters, self.gcfg.n_iters
 
         res = tracker.track_frame(
             self.submap_params[self.active_id], self.fcfg, self.consts,
             self.rcfg, self.gcfg, self.pst, self._next_key(),
-            rgb, depth, direction, prev, prev_prev, use_cs, self.lw,
-            n_ro, n_go)
+            rgb, depth, direction, st.est_c2w, jnp.asarray(i), use_cs,
+            self.lw, n_ro, n_go, from_current=bool(switch_tracking))
 
         # single-dispatch state update (pose store + rel-pose/kf-ref
         # bookkeeping, ref :558-576) — eager per-op dispatches dominate
@@ -363,7 +366,10 @@ class MIPSFusionTPU:
         st = st._replace(est_c2w=est_c2w, est_c2w_rel=est_c2w_rel,
                          keyframe_ref=keyframe_ref)
         self.state = st
-        self.track_losses.append(float(res.loss))
+        # keep the loss on-device: a float() here would sync the host to
+        # the device every frame and serialize the pipeline (the remote
+        # tunnel's per-dispatch latency dominates otherwise)
+        self.track_losses.append(res.loss)
 
     def do_local_ba(self, frame: Dict, i: int):
         """Local BA on the active submap (ref :259-370)."""
@@ -377,7 +383,7 @@ class MIPSFusionTPU:
 
         poses_local = self._extract_poses_jit(st, st.active_submap_id)
 
-        frame_rays = slam_state.make_frame_rays(direction, rgb, depth)
+        frame_rays = self._packed_frame
         mcfg = self.mcfg
         if self.optim_cur and not mcfg.optim_cur:
             mcfg = mapper.MapConfig(**{
@@ -402,8 +408,7 @@ class MIPSFusionTPU:
 
     def add_keyframe(self, frame: Dict, i: int):
         rgb, depth, direction = self._frame_arrays(frame)
-        frame_rays = slam_state.make_frame_rays(direction, rgb, depth)
-        st = slam_state.add_keyframe(self.state, frame_rays, i,
+        st = slam_state.add_keyframe(self.state, self._packed_frame, i,
                                      self.kf_rows, self.kf_cols)
         if not self.use_manager:
             kf_id = i // self.keyframe_every
@@ -434,10 +439,9 @@ class MIPSFusionTPU:
         self.inactive_started = True
 
         rgb, depth, direction = self._frame_arrays(frame)
-        frame_rays = slam_state.make_frame_rays(direction, rgb, depth)
         params, opt_state, _ = mapper.init_submap_fit(
             self.submap_params[new_id], self.map_opt_state,
-            self._next_key(), frame_rays.reshape(-1, 7), self.fcfg,
+            self._next_key(), self._packed_frame.reshape(-1, 7), self.fcfg,
             self.consts, self.mcfg, self.lw, self.mcfg.first_iters,
             self.mcfg.mapping_sample_init)
         self.submap_params[new_id] = params
@@ -476,7 +480,7 @@ class MIPSFusionTPU:
 
         poses_local = self.extract_submap_kf_poses(st, self.active_id)
         rgb, depth, direction = self._frame_arrays(frame)
-        frame_rays = slam_state.make_frame_rays(direction, rgb, depth)
+        frame_rays = self._packed_frame
 
         pose_opt, _ = mapper.switch_ba(
             self.submap_params[self.active_id], self._next_key(),
@@ -497,7 +501,7 @@ class MIPSFusionTPU:
         mask = np.asarray(slam_state.submap_kf_mask(st, submap_id))
         if exclude_submap is not None:
             first_bind = np.asarray(st.keyframe_localMLP[:, 0])
-            mask &= ~(first_bind == exclude_submap)
+            mask = mask & ~(first_bind == exclude_submap)
         return np.where(mask)[0]
 
     def _kf_world_poses(self, st: slam_state.SlamState,
@@ -837,6 +841,9 @@ class MIPSFusionTPU:
 
     def run(self, n_frames: Optional[int] = None, verbose: bool = True):
         n = n_frames or self.dataset.num_frames
+        mesh_cfg = self.config.get("mesh", {})
+        vis_every = mesh_cfg.get("vis", 0)
+        ckpt_every = mesh_cfg.get("ckpt_freq", 0)
         t_start = time.time()
         for i in range(n):
             frame = self.dataset[i]
@@ -844,8 +851,22 @@ class MIPSFusionTPU:
             if verbose and i % 25 == 0 and i > 0:
                 fps = i / (time.time() - t_start)
                 print(f"frame {i}/{n}  track_loss="
-                      f"{self.track_losses[-1]:.4f}  submap="
+                      f"{float(self.track_losses[-1]):.4f}  submap="
                       f"{self.active_id}  {fps:.2f} fps")
+            # in-loop evaluation + trajectory export (ref :712-716)
+            if (self.output_dir and vis_every and i > 0
+                    and i % vis_every == 0):
+                res = self.evaluate(i, tag=str(i))
+                save_traj_tum(self.world_trajectory(i),
+                              os.path.join(self.output_dir,
+                                           f"traj_{i}.txt"))
+                if verbose:
+                    print(f"  [eval@{i}] ATE RMSE "
+                          f"{res['absolute_translational_error.rmse']:.4f}")
+            # periodic checkpoint (ref :718-720)
+            if (self.output_dir and ckpt_every and i > 0
+                    and i % ckpt_every == 0):
+                self.save_checkpoint(str(i))
         elapsed = time.time() - t_start
         results = self.evaluate(n - 1)
         results["fps"] = n / elapsed

@@ -262,25 +262,34 @@ class TrackResult(NamedTuple):
 
 
 @partial(jax.jit, static_argnames=("fcfg", "rcfg", "gcfg", "n_iter_ro",
-                                   "n_iter_go"))
+                                   "n_iter_go", "from_current"))
 def track_frame(field_params: Dict, fcfg: sr.FieldConfig,
                 consts: sr.FieldConsts, rcfg: ROConfig, gcfg: GOConfig,
                 pst: jnp.ndarray, key: jax.Array,
                 rgb_img: jnp.ndarray, depth_img: jnp.ndarray,
-                rays_dir_img: jnp.ndarray, prev_pose: jnp.ndarray,
-                prev_prev_pose: jnp.ndarray, use_const_speed: jnp.ndarray,
-                lw: sr.LossWeights, n_iter_ro: int,
-                n_iter_go: int) -> TrackResult:
+                rays_dir_img: jnp.ndarray, est_c2w: jnp.ndarray,
+                frame_idx: jnp.ndarray, use_const_speed: jnp.ndarray,
+                lw: sr.LossWeights, n_iter_ro: int, n_iter_go: int,
+                from_current: bool = False) -> TrackResult:
     """Full per-frame tracking: motion model -> RO -> GO. One jitted call.
 
     Mirrors tracking_render (ref mipsfusion.py:470-563) with the
     constant-velocity prediction of predict_current_pose (ref :448-458).
+    Pose history is indexed from ``est_c2w`` on-device (a host-side
+    slice per frame would cost a dispatch round-trip); with
+    ``from_current`` the stored pose of the frame itself is the seed
+    (switch re-tracking, ref :470-476).
     """
     from ..ops.geometry import pose_inverse
 
     H, W = depth_img.shape
-    delta = _mm(prev_pose, pose_inverse(prev_prev_pose))
-    pred = jnp.where(use_const_speed, _mm(delta, prev_pose), prev_pose)
+    if from_current:
+        pred = est_c2w[frame_idx]
+    else:
+        prev_pose = est_c2w[frame_idx - 1]
+        prev_prev_pose = est_c2w[jnp.maximum(frame_idx - 2, 0)]
+        delta = _mm(prev_pose, pose_inverse(prev_prev_pose))
+        pred = jnp.where(use_const_speed, _mm(delta, prev_pose), prev_pose)
 
     k_ro, k_px, k_go = jax.random.split(key, 3)
 

@@ -121,3 +121,22 @@ def test_pose_graph_zero_residual_stays_put():
         jnp.asarray(gt), edges, rels, weights, mask, n_iters=5)
     np.testing.assert_allclose(np.asarray(nodes), gt, atol=1e-5)
     assert float(cost) < 1e-10
+
+
+def test_svd_icp_recovers_transform():
+    """Smoke test mirroring the reference's only executable test
+    (/root/reference/external/Pypose_external/ICP.py:112-124)."""
+    from mipsfusion_tpu.ops.geometry import se3_exp
+    rng = np.random.default_rng(5)
+    dst = make_cloud(rng, 400)
+    xi = np.array([0.05, -0.04, 0.03, 0.04, -0.02, 0.05], np.float32)
+    T_true = np.asarray(se3_exp(jnp.asarray(xi)))
+    src = (dst - T_true[:3, 3]) @ T_true[:3, :3]
+    res = icp.icp_point_to_point(
+        jnp.asarray(src), jnp.ones(len(src), bool),
+        jnp.asarray(dst), jnp.ones(len(dst), bool),
+        threshold=0.2, n_iters=20)
+    T = np.asarray(res.transform)
+    err = np.abs(np.asarray(se3_log(jnp.asarray(
+        (np.linalg.inv(T_true) @ T).astype(np.float32)))))
+    assert err.max() < 1e-2, err

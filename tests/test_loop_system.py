@@ -1,0 +1,87 @@
+"""System-level loop-closure machinery test.
+
+Runs the 'loop' synthetic trajectory (out and back) with small submaps,
+then drives the overlap-verification + ICP rectification path directly
+against the resulting state. A full organic switch-to-previous is
+timing/threshold dependent; what must always hold:
+
+  * the run completes with valid bindings and finite poses;
+  * _find_overlapping_region on a pose inside a previous submap's
+    region either verifies the overlap (returning rectification data)
+    or cleanly declines — never crashes or corrupts state;
+  * after a forced switch via msg1, pose-graph optimization runs and
+    keeps anchors orthonormal.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mipsfusion_tpu.datasets.synthetic import SyntheticDataset
+from mipsfusion_tpu.slam.system import MIPSFusionTPU
+from test_slam_multi import multi_config
+
+
+@pytest.fixture(scope="module")
+def loop_run():
+    cfg = multi_config(60)
+    cfg["synthetic"]["trajectory"] = "loop"
+    cfg["synthetic"]["span"] = 0.8
+    cfg["mapping"]["keyframe_every"] = 5
+    ds = SyntheticDataset(cfg, n_frames=60, trajectory="loop", span=0.8)
+    slam = MIPSFusionTPU(cfg, dataset=ds)
+    results = slam.run(verbose=False)
+    return slam, results
+
+
+def test_loop_run_completes(loop_run):
+    slam, results = loop_run
+    st = slam.state
+    n_kf = int(st.n_kf)
+    assert np.isfinite(np.asarray(st.est_c2w[:60])).all()
+    binds = np.asarray(st.keyframe_localMLP[:n_kf, 0])
+    assert (binds >= 0).all()
+    assert results["n_submaps"] >= 1
+
+
+def test_overlap_verification_path(loop_run):
+    slam, _ = loop_run
+    st = slam.state
+    used = int(np.asarray(st.localMLP_info[:, 0]).sum())
+    if used < 2:
+        pytest.skip("trajectory produced a single submap on this config")
+    # a frame looking at submap 0's region: reuse frame 0's pose
+    f = slam.dataset[0]
+    depth = jnp.asarray(f["depth"])
+    dirs = jnp.asarray(f["direction"])
+    pose_world = jnp.asarray(f["c2w"])
+    slam._last_tracked_frame = 0
+    active = int(st.active_submap_id)
+    mo = 0 if active != 0 else 1
+    ok, data = slam._find_overlapping_region(mo, active, st, depth, dirs,
+                                             pose_world)
+    if ok:
+        assert data is not None and len(data["top_kf_ids"]) > 0
+        assert slam.rectified_local_pose is not None
+        R = np.asarray(slam.rectified_local_pose)[:3, :3]
+        np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-3)
+
+
+def test_global_ba_keeps_anchors_valid(loop_run):
+    slam, _ = loop_run
+    st = slam.state
+    used = int(np.asarray(st.localMLP_info[:, 0]).sum())
+    if used < 2:
+        pytest.skip("needs >= 2 submaps")
+    # force the PGO path with an identity key observation
+    slam.temp_local_pose = st.est_c2w[int(st.n_kf - 1)
+                                      * slam.keyframe_every]
+    slam.rectified_local_pose = slam.temp_local_pose
+    slam.global_ba()
+    st2 = slam.state
+    for m in range(used):
+        A = np.asarray(st2.kf_c2w[int(st2.localMLP_first_kf[m])])
+        assert np.isfinite(A).all()
+        np.testing.assert_allclose(A[:3, :3] @ A[:3, :3].T, np.eye(3),
+                                   atol=1e-3)
