@@ -844,9 +844,23 @@ class MIPSFusionTPU:
         mesh_cfg = self.config.get("mesh", {})
         vis_every = mesh_cfg.get("vis", 0)
         ckpt_every = mesh_cfg.get("ckpt_freq", 0)
+
+        # background frame prefetch: dataset IO / synthetic rendering
+        # overlaps device compute (the reference used DataLoader worker
+        # processes for the same purpose, ref mipsfusion.py:672)
+        import queue
+        import threading
+        q: "queue.Queue" = queue.Queue(maxsize=4)
+
+        def _producer():
+            for j in range(n):
+                q.put(self.dataset[j])
+
+        threading.Thread(target=_producer, daemon=True).start()
+
         t_start = time.time()
         for i in range(n):
-            frame = self.dataset[i]
+            frame = q.get()
             self.process_frame(frame, i)
             if verbose and i % 25 == 0 and i > 0:
                 fps = i / (time.time() - t_start)
