@@ -16,6 +16,10 @@ def main():
                         help="Path to config yaml file")
     parser.add_argument("--n_frames", type=int, default=None,
                         help="Optionally cap the number of frames")
+    parser.add_argument("--resume", type=str, default=None,
+                        help="Checkpoint dir to resume from")
+    parser.add_argument("--profile", type=str, default=None,
+                        help="Write a jax profiler trace to this dir")
     args = parser.parse_args()
 
     cfg = load_config(args.config)
@@ -29,7 +33,16 @@ def main():
 
     from mipsfusion_tpu.slam.system import MIPSFusionTPU
     slam = MIPSFusionTPU(cfg)
-    results = slam.run(n_frames=args.n_frames)
+    start = 0
+    if args.resume:
+        start = slam.resume_from(args.resume)
+        print(f"resumed from {args.resume} at frame {start}")
+    if args.profile:
+        import jax
+        with jax.profiler.trace(args.profile):
+            results = slam.run(n_frames=args.n_frames, start=start)
+    else:
+        results = slam.run(n_frames=args.n_frames, start=start)
     print("ATE RMSE: %.4f m | %.2f FPS" % (
         results["absolute_translational_error.rmse"], results["fps"]))
 

@@ -81,6 +81,8 @@ class FieldConfig:
             resolutions=tuple(cfg["grid"].get(
                 "tri_resolutions", (32, 64, 128, 256))),
             n_features=cfg["grid"].get("tri_features", 4),
+            cp_resolution=cfg["grid"].get("cp_resolution", 0),
+            cp_components=cfg["grid"].get("cp_components", 32),
         )
         freq = FrequencyConfig(n_frequencies=cfg["pos"]["n_bins"])
         decoder = DecoderConfig(

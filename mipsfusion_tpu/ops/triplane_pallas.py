@@ -4,12 +4,13 @@ This is the flagship compute kernel replacing tiny-cuda-nn's fused
 hash-grid encode (/root/reference/model/encodings.py:13-25) with a
 TPU-native design. The XLA fallback (ops/encoding.py triplane_encode)
 materializes [N, R, F] interpolation intermediates in HBM; these
-kernels keep everything in VMEM:
+kernels keep everything in VMEM and fuse ALL scales and planes into a
+single launch per direction:
 
-  * each point-block grid step holds the scale's THREE planes (<= 3 MB
-    at R=256, F=4) in VMEM, builds 2-sparse one-hot interpolation
-    matrices on the VPU, and contracts them against the planes on the
-    MXU — HBM traffic is just points in / features out;
+  * each point-block grid step holds every scale's three planes in VMEM
+    (~4 MB total at (32,64,128,256) x F=4), builds 2-sparse one-hot
+    interpolation matrices on the VPU, and contracts them against the
+    planes on the MXU — HBM traffic is just points in / features out;
   * the backward into the planes is the transposed one-hot matmul
     (a scatter on GPUs, a pure matmul here), accumulated across point
     blocks in the sequential TPU grid — race-free by construction;
@@ -23,14 +24,14 @@ final orientation with broadcasted_iota compares, and all point-indexed
 data is points-minor ([.., B]) — no in-kernel reshape or transpose.
 Matmuls run with bf16 inputs and f32 accumulation (full MXU rate).
 
-Public entry ``triplane_encode_pallas`` loops scales and concatenates
-features; jax.custom_vjp ties the three kernels together.
+Public entry ``triplane_encode_pallas`` is a jax.custom_vjp drop-in for
+the XLA version.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Dict, Tuple
+from typing import Dict, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -38,11 +39,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 BLOCK_N = 1024      # points per kernel instance (fwd / plane-bwd)
-BLOCK_N_UV = 512    # uv-backward holds more live intermediates
-
-_CONTRACT_0 = (((0,), (0,)), ((), ()))   # contract dim0 x dim0
-_CONTRACT_1 = (((1,), (1,)), ((), ()))   # contract dim1 x dim1
-_MATMUL = (((1,), (0,)), ((), ()))       # plain matmul
+BLOCK_N_UV = 512    # x-backward holds more live intermediates
 
 
 def _onehotT(iota_rb, i0, w, dtype):
@@ -71,202 +68,348 @@ def _sT(F: int, RF: int, dtype):
     return (cols % F == rows).astype(dtype)
 
 
+def _plane_uv(xT_ref, p: int):
+    """Row vectors (u, v) [1, B] for plane p: (xy, xz, yz)."""
+    if p == 0:
+        return xT_ref[0:1], xT_ref[1:2]
+    if p == 1:
+        return xT_ref[0:1], xT_ref[2:3]
+    return xT_ref[1:2], xT_ref[2:3]
+
+
+def _coords(u, R: int):
+    pu = jnp.clip(u * (R - 1), 0.0, R - 1 - 1e-6)
+    i0 = jnp.floor(pu)
+    return i0.astype(jnp.int32), pu - i0
+
+
 # ---------------------------------------------------------------------------
-# forward:  out^T [F, N] per scale (3 planes summed)
+# forward: out^T [S*F, N], all scales+planes in one kernel
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(iu_ref, wu_ref, iv_ref, wv_ref, plane_ref, out_ref):
-    R, RF = plane_ref.shape[1], plane_ref.shape[2]
-    F = out_ref.shape[0]
-    B = iu_ref.shape[1]
+def _make_fwd_kernel(resolutions: Sequence[int], F: int, has_cp: bool):
+    S = len(resolutions)
 
-    iota_rb = jax.lax.broadcasted_iota(jnp.int32, (R, B), 0)
-    iota_rfb = jax.lax.broadcasted_iota(jnp.int32, (RF, B), 0) // F
-    ST = _sT(F, RF, jnp.bfloat16)
+    def kernel(*refs):
+        xT_ref = refs[0]
+        plane_refs = refs[1:1 + S]
+        cp_ref = refs[1 + S] if has_cp else None
+        out_ref = refs[-1]
+        B = xT_ref.shape[1]
 
-    acc = jnp.zeros((F, B), jnp.float32)
-    for p in range(3):
-        WuT = _onehotT(iota_rb, iu_ref[p:p + 1], wu_ref[p:p + 1],
-                       jnp.bfloat16)                               # [R, B]
-        WvT = _onehotT(iota_rfb, iv_ref[p:p + 1], wv_ref[p:p + 1],
-                       jnp.bfloat16)                               # [RF, B]
-        P = plane_ref[p]                                           # [R, RF] bf16
-        AT = jax.lax.dot_general(P, WuT, _CONTRACT_0,
-                                 preferred_element_type=jnp.float32)
-        prod = (AT * WvT).astype(jnp.bfloat16)                     # [RF, B]
-        acc = acc + jax.lax.dot_general(
-            ST, prod, _MATMUL, preferred_element_type=jnp.float32)
-    out_ref[:] = acc
+        for si, R in enumerate(resolutions):
+            RF = R * F
+            iota_rb = jax.lax.broadcasted_iota(jnp.int32, (R, B), 0)
+            iota_rfb = jax.lax.broadcasted_iota(jnp.int32, (RF, B), 0) // F
+            ST = _sT(F, RF, jnp.bfloat16)
+            acc = jnp.zeros((F, B), jnp.float32)
+            for p in range(3):
+                u, v = _plane_uv(xT_ref, p)
+                iu, wu = _coords(u, R)
+                iv, wv = _coords(v, R)
+                WuT = _onehotT(iota_rb, iu, wu, jnp.bfloat16)
+                WvT = _onehotT(iota_rfb, iv, wv, jnp.bfloat16)
+                P = plane_refs[si][p]                        # [R, RF] bf16
+                AT = jax.lax.dot_general(
+                    P, WuT, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)      # [RF, B]
+                prod = (AT * WvT).astype(jnp.bfloat16)
+                acc = acc + jax.lax.dot_general(
+                    ST, prod, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            out_ref[si * F:(si + 1) * F, :] = acc
+
+        if has_cp:
+            # CP term: elementwise product of three 1D line lookups
+            Rcp, C = cp_ref.shape[1], cp_ref.shape[2]
+            iota_cp = jax.lax.broadcasted_iota(jnp.int32, (Rcp, B), 0)
+            fs = []
+            for a in range(3):
+                ia, wa = _coords(xT_ref[a:a + 1], Rcp)
+                WT = _onehotT(iota_cp, ia, wa, jnp.bfloat16)
+                fs.append(jax.lax.dot_general(
+                    cp_ref[a], WT, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32))     # [C, B]
+            out_ref[S * F:, :] = fs[0] * fs[1] * fs[2]
+
+    return kernel
 
 
-def _scale_forward(iu, wu, iv, wv, plane_flat, F: int) -> jnp.ndarray:
-    """iu/wu/iv/wv [3, N]; plane_flat [3, R, R*F] -> out^T [F, N]."""
-    _, N = iu.shape
-    _, R, RF = plane_flat.shape
+def _fused_forward(xT, planes_flat, resolutions, F, cp_lines=None):
+    _, N = xT.shape
+    S = len(resolutions)
     n_blocks = N // BLOCK_N
-    row = lambda i: (0, i)
+    in_specs = [pl.BlockSpec((3, BLOCK_N), lambda i: (0, i),
+                             memory_space=pltpu.VMEM)]
+    for R in resolutions:
+        in_specs.append(pl.BlockSpec((3, R, R * F), lambda i: (0, 0, 0),
+                                     memory_space=pltpu.VMEM))
+    args = [xT, *planes_flat]
+    out_dim = S * F
+    if cp_lines is not None:
+        Rcp, C = cp_lines.shape[1], cp_lines.shape[2]
+        in_specs.append(pl.BlockSpec((3, Rcp, C), lambda i: (0, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(cp_lines)
+        out_dim += C
     return pl.pallas_call(
-        _fwd_kernel,
+        _make_fwd_kernel(tuple(resolutions), F, cp_lines is not None),
         grid=(n_blocks,),
-        in_specs=[
-            pl.BlockSpec((3, BLOCK_N), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, BLOCK_N), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, BLOCK_N), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, BLOCK_N), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, R, RF), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((F, BLOCK_N), lambda i: (0, i),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((out_dim, BLOCK_N), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((F, N), jnp.float32),
-    )(iu, wu, iv, wv, plane_flat)
+        out_shape=jax.ShapeDtypeStruct((out_dim, N), jnp.float32),
+    )(*args)
 
 
 # ---------------------------------------------------------------------------
-# backward into the planes:  dP [3, R, R*F]
+# backward into the planes: one kernel, outputs dP per scale
 # ---------------------------------------------------------------------------
 
-def _bwd_plane_kernel(iu_ref, wu_ref, iv_ref, wv_ref, g_ref, dp_ref):
-    i = pl.program_id(0)
-    R, RF = dp_ref.shape[1], dp_ref.shape[2]
-    F = g_ref.shape[0]
-    B = iu_ref.shape[1]
+def _make_bwd_plane_kernel(resolutions: Sequence[int], F: int,
+                           has_cp: bool):
+    S = len(resolutions)
 
-    iota_rb = jax.lax.broadcasted_iota(jnp.int32, (R, B), 0)
-    iota_rfb = jax.lax.broadcasted_iota(jnp.int32, (RF, B), 0) // F
-    S = _s(RF, F, jnp.bfloat16)
-    g_exp = jax.lax.dot_general(S, g_ref[:].astype(jnp.bfloat16), _MATMUL,
-                                preferred_element_type=jnp.float32)  # [RF, B]
+    def kernel(*refs):
+        xT_ref = refs[0]
+        g_ref = refs[1]
+        cp_ref = refs[2] if has_cp else None
+        dp_refs = refs[(3 if has_cp else 2):(3 if has_cp else 2) + S]
+        dcp_ref = refs[-1] if has_cp else None
+        i = pl.program_id(0)
+        B = xT_ref.shape[1]
 
-    for p in range(3):
-        WuT = _onehotT(iota_rb, iu_ref[p:p + 1], wu_ref[p:p + 1],
-                       jnp.bfloat16)
-        WvT = _onehotT(iota_rfb, iv_ref[p:p + 1], wv_ref[p:p + 1],
-                       jnp.float32)
-        MT = (WvT * g_exp).astype(jnp.bfloat16)                    # [RF, B]
-        dP = jax.lax.dot_general(WuT, MT, _CONTRACT_1,
-                                 preferred_element_type=jnp.float32)
+        for si, R in enumerate(resolutions):
+            RF = R * F
+            iota_rb = jax.lax.broadcasted_iota(jnp.int32, (R, B), 0)
+            iota_rfb = jax.lax.broadcasted_iota(jnp.int32, (RF, B), 0) // F
+            Sx = _s(RF, F, jnp.bfloat16)
+            gT = g_ref[si * F:(si + 1) * F, :].astype(jnp.bfloat16)
+            g_exp = jax.lax.dot_general(
+                Sx, gT, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)          # [RF, B]
+            for p in range(3):
+                u, v = _plane_uv(xT_ref, p)
+                iu, wu = _coords(u, R)
+                iv, wv = _coords(v, R)
+                WuT = _onehotT(iota_rb, iu, wu, jnp.bfloat16)
+                WvT = _onehotT(iota_rfb, iv, wv, jnp.float32)
+                MT = (WvT * g_exp).astype(jnp.bfloat16)      # [RF, B]
+                dP = jax.lax.dot_general(
+                    WuT, MT, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)      # [R, RF]
 
-        @pl.when(i == 0)
-        def _():
-            dp_ref[p] = dP
+                @pl.when(i == 0)
+                def _():
+                    dp_refs[si][p] = dP
 
-        @pl.when(i != 0)
-        def _():
-            dp_ref[p] = dp_ref[p] + dP
+                @pl.when(i != 0)
+                def _():
+                    dp_refs[si][p] = dp_refs[si][p] + dP
+
+        if has_cp:
+            Rcp, C = cp_ref.shape[1], cp_ref.shape[2]
+            iota_cp = jax.lax.broadcasted_iota(jnp.int32, (Rcp, B), 0)
+            g_cp = g_ref[S * F:, :]                          # [C, B]
+            WTs, fs = [], []
+            for a in range(3):
+                ia, wa = _coords(xT_ref[a:a + 1], Rcp)
+                WT = _onehotT(iota_cp, ia, wa, jnp.bfloat16)
+                WTs.append(WT)
+                fs.append(jax.lax.dot_general(
+                    cp_ref[a], WT, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32))     # [C, B]
+            others = [fs[1] * fs[2], fs[0] * fs[2], fs[0] * fs[1]]
+            for a in range(3):
+                dfa = (g_cp * others[a]).astype(jnp.bfloat16)  # [C, B]
+                dL = jax.lax.dot_general(
+                    WTs[a], dfa, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)      # [Rcp, C]
+
+                @pl.when(i == 0)
+                def _():
+                    dcp_ref[a] = dL
+
+                @pl.when(i != 0)
+                def _():
+                    dcp_ref[a] = dcp_ref[a] + dL
+
+    return kernel
 
 
-def _scale_backward_plane(iu, wu, iv, wv, gT, R: int) -> jnp.ndarray:
-    _, N = iu.shape
-    F = gT.shape[0]
-    RF = R * F
+def _fused_backward_plane(xT, gT, resolutions, F, cp_lines=None):
+    _, N = xT.shape
     n_blocks = N // BLOCK_N
-    row = lambda i: (0, i)
+    S = len(resolutions)
+    out_dim = S * F + (cp_lines.shape[2] if cp_lines is not None else 0)
+    in_specs = [
+        pl.BlockSpec((3, BLOCK_N), lambda i: (0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((out_dim, BLOCK_N), lambda i: (0, i),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [xT, gT]
+    if cp_lines is not None:
+        Rcp, C = cp_lines.shape[1], cp_lines.shape[2]
+        in_specs.append(pl.BlockSpec((3, Rcp, C), lambda i: (0, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(cp_lines)
+    out_specs = []
+    out_shapes = []
+    for R in resolutions:
+        out_specs.append(pl.BlockSpec((3, R, R * F), lambda i: (0, 0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shapes.append(jax.ShapeDtypeStruct((3, R, R * F), jnp.float32))
+    if cp_lines is not None:
+        out_specs.append(pl.BlockSpec((3, Rcp, C), lambda i: (0, 0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shapes.append(jax.ShapeDtypeStruct((3, Rcp, C), jnp.float32))
     return pl.pallas_call(
-        _bwd_plane_kernel,
+        _make_bwd_plane_kernel(tuple(resolutions), F, cp_lines is not None),
         grid=(n_blocks,),
-        in_specs=[
-            pl.BlockSpec((3, BLOCK_N), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, BLOCK_N), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, BLOCK_N), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, BLOCK_N), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((F, BLOCK_N), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((3, R, RF), lambda i: (0, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((3, R, RF), jnp.float32),
-    )(iu, wu, iv, wv, gT)
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shapes),
+    )(*args)
 
 
 # ---------------------------------------------------------------------------
-# backward w.r.t. uv:  duv [3, 2, N]
+# backward w.r.t. x: one kernel -> dxT [3, N]
 # ---------------------------------------------------------------------------
 
-def _bwd_uv_kernel(iu_ref, wu_ref, iv_ref, wv_ref, plane_ref, g_ref,
-                   duv_ref):
-    R, RF = plane_ref.shape[1], plane_ref.shape[2]
-    F = g_ref.shape[0]
-    B = iu_ref.shape[1]
+def _make_bwd_x_kernel(resolutions: Sequence[int], F: int, has_cp: bool):
+    S = len(resolutions)
 
-    iota_rb = jax.lax.broadcasted_iota(jnp.int32, (R, B), 0)
-    iota_rfb = jax.lax.broadcasted_iota(jnp.int32, (RF, B), 0) // F
-    S = _s(RF, F, jnp.bfloat16)
-    g_exp = jax.lax.dot_general(S, g_ref[:].astype(jnp.bfloat16), _MATMUL,
-                                preferred_element_type=jnp.float32)  # [RF, B]
-    scale = jnp.float32(R - 1)
+    def kernel(*refs):
+        xT_ref = refs[0]
+        g_ref = refs[1]
+        plane_refs = refs[2:2 + S]
+        cp_ref = refs[2 + S] if has_cp else None
+        dx_ref = refs[-1]
+        B = xT_ref.shape[1]
 
-    for p in range(3):
-        iu, wu = iu_ref[p:p + 1], wu_ref[p:p + 1]
-        iv, wv = iv_ref[p:p + 1], wv_ref[p:p + 1]
-        WuT = _onehotT(iota_rb, iu, wu, jnp.bfloat16)
-        DuT = _onehotT_diff(iota_rb, iu, jnp.bfloat16)
-        WvT = _onehotT(iota_rfb, iv, wv, jnp.float32)
-        DvT = _onehotT_diff(iota_rfb, iv, jnp.float32)
-        P = plane_ref[p]
+        dx = jnp.zeros((1, B), jnp.float32)
+        dy = jnp.zeros((1, B), jnp.float32)
+        dz = jnp.zeros((1, B), jnp.float32)
+        for si, R in enumerate(resolutions):
+            RF = R * F
+            iota_rb = jax.lax.broadcasted_iota(jnp.int32, (R, B), 0)
+            iota_rfb = jax.lax.broadcasted_iota(jnp.int32, (RF, B), 0) // F
+            Sx = _s(RF, F, jnp.bfloat16)
+            gT = g_ref[si * F:(si + 1) * F, :].astype(jnp.bfloat16)
+            g_exp = jax.lax.dot_general(
+                Sx, gT, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)          # [RF, B]
+            scale = jnp.float32(R - 1)
+            for p in range(3):
+                u, v = _plane_uv(xT_ref, p)
+                iu, wu = _coords(u, R)
+                iv, wv = _coords(v, R)
+                WuT = _onehotT(iota_rb, iu, wu, jnp.bfloat16)
+                DuT = _onehotT_diff(iota_rb, iu, jnp.bfloat16)
+                WvT = _onehotT(iota_rfb, iv, wv, jnp.float32)
+                DvT = _onehotT_diff(iota_rfb, iv, jnp.float32)
+                P = plane_refs[si][p]
 
-        AduT = jax.lax.dot_general(P, DuT, _CONTRACT_0,
-                                   preferred_element_type=jnp.float32)
-        du = jnp.sum(AduT * WvT * g_exp, axis=0, keepdims=True)    # [1, B]
-        AT = jax.lax.dot_general(P, WuT, _CONTRACT_0,
-                                 preferred_element_type=jnp.float32)
-        dv = jnp.sum(AT * DvT * g_exp, axis=0, keepdims=True)      # [1, B]
-        duv_ref[p] = jnp.concatenate([du * scale, dv * scale], axis=0)
+                AduT = jax.lax.dot_general(
+                    P, DuT, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                du = jnp.sum(AduT * WvT * g_exp, axis=0,
+                             keepdims=True) * scale          # [1, B]
+                AT = jax.lax.dot_general(
+                    P, WuT, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                dv = jnp.sum(AT * DvT * g_exp, axis=0,
+                             keepdims=True) * scale          # [1, B]
+                # planes sample (u, v) = (xy, xz, yz)
+                if p == 0:
+                    dx = dx + du
+                    dy = dy + dv
+                elif p == 1:
+                    dx = dx + du
+                    dz = dz + dv
+                else:
+                    dy = dy + du
+                    dz = dz + dv
+
+        if has_cp:
+            Rcp, C = cp_ref.shape[1], cp_ref.shape[2]
+            iota_cp = jax.lax.broadcasted_iota(jnp.int32, (Rcp, B), 0)
+            g_cp = g_ref[S * F:, :]                          # [C, B]
+            fs, Ds = [], []
+            for a in range(3):
+                ia, wa = _coords(xT_ref[a:a + 1], Rcp)
+                WT = _onehotT(iota_cp, ia, wa, jnp.bfloat16)
+                DT = _onehotT_diff(iota_cp, ia, jnp.bfloat16)
+                fs.append(jax.lax.dot_general(
+                    cp_ref[a], WT, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32))     # [C, B]
+                Ds.append(jax.lax.dot_general(
+                    cp_ref[a], DT, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32))     # [C, B]
+            others = [fs[1] * fs[2], fs[0] * fs[2], fs[0] * fs[1]]
+            scale_cp = jnp.float32(Rcp - 1)
+            da = [jnp.sum(g_cp * Ds[a] * others[a], axis=0,
+                          keepdims=True) * scale_cp for a in range(3)]
+            dx = dx + da[0]
+            dy = dy + da[1]
+            dz = dz + da[2]
+        dx_ref[:] = jnp.concatenate([dx, dy, dz], axis=0)    # [3, B]
+
+    return kernel
 
 
-def _scale_backward_uv(iu, wu, iv, wv, plane_flat, gT) -> jnp.ndarray:
-    _, N = iu.shape
-    _, R, RF = plane_flat.shape
-    F = RF // R
+def _fused_backward_x(xT, gT, planes_flat, resolutions, F, cp_lines=None):
+    _, N = xT.shape
+    S = len(resolutions)
     n_blocks = N // BLOCK_N_UV
-    row = lambda i: (0, i)
+    out_dim = S * F + (cp_lines.shape[2] if cp_lines is not None else 0)
+    in_specs = [
+        pl.BlockSpec((3, BLOCK_N_UV), lambda i: (0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((out_dim, BLOCK_N_UV), lambda i: (0, i),
+                     memory_space=pltpu.VMEM),
+    ]
+    for R in resolutions:
+        in_specs.append(pl.BlockSpec((3, R, R * F), lambda i: (0, 0, 0),
+                                     memory_space=pltpu.VMEM))
+    args = [xT, gT, *planes_flat]
+    if cp_lines is not None:
+        Rcp, C = cp_lines.shape[1], cp_lines.shape[2]
+        in_specs.append(pl.BlockSpec((3, Rcp, C), lambda i: (0, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(cp_lines)
     return pl.pallas_call(
-        _bwd_uv_kernel,
+        _make_bwd_x_kernel(tuple(resolutions), F, cp_lines is not None),
         grid=(n_blocks,),
-        in_specs=[
-            pl.BlockSpec((3, BLOCK_N_UV), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, BLOCK_N_UV), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, BLOCK_N_UV), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, BLOCK_N_UV), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, R, RF), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((F, BLOCK_N_UV), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((3, 2, BLOCK_N_UV), lambda i: (0, 0, i),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((3, BLOCK_N_UV), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((3, 2, N), jnp.float32),
-    )(iu, wu, iv, wv, plane_flat, gT)
+        out_shape=jax.ShapeDtypeStruct((3, N), jnp.float32),
+    )(*args)
 
 
 # ---------------------------------------------------------------------------
 # public entry with custom VJP
 # ---------------------------------------------------------------------------
 
-def _interp_coords(x: jnp.ndarray, R: int):
-    """Per-plane (iu, wu, iv, wv) [3, N]: planes sample (xy, xz, yz)."""
-    u = jnp.stack([x[:, 0], x[:, 0], x[:, 1]], axis=0)   # [3, N]
-    v = jnp.stack([x[:, 1], x[:, 2], x[:, 2]], axis=0)
-    pu = jnp.clip(u * (R - 1), 0.0, R - 1 - 1e-6)
-    pv = jnp.clip(v * (R - 1), 0.0, R - 1 - 1e-6)
-    iu = jnp.floor(pu)
-    iv = jnp.floor(pv)
-    return (iu.astype(jnp.int32), pu - iu,
-            iv.astype(jnp.int32), pv - iv)
-
-
-def _pad_n(x: jnp.ndarray) -> Tuple[jnp.ndarray, int]:
+def _pad_n(x: jnp.ndarray, block: int) -> Tuple[jnp.ndarray, int]:
     N = x.shape[0]
-    pad = (-N) % BLOCK_N
+    pad = (-N) % block
     if pad:
         x = jnp.pad(x, ((0, pad), (0, 0)))
     return x, N
 
 
+def _flat_planes(planes, resolutions, F):
+    return [planes[f"s{i}"].reshape(3, R, R * F).astype(jnp.bfloat16)
+            for i, R in enumerate(resolutions)]
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def triplane_encode_pallas(planes: Dict[str, jnp.ndarray], x: jnp.ndarray,
                            resolutions: Tuple[int, ...]) -> jnp.ndarray:
-    """Encode x [N,3] in [0,1]^3 -> [N, S*F] via Pallas kernels.
+    """Encode x [N,3] in [0,1]^3 -> [N, S*F] via fused Pallas kernels.
 
     planes: {"s<i>": [3, R_i, R_i, F]}. Drop-in replacement for
     ops.encoding.triplane_encode (same math, VMEM-resident execution).
@@ -275,18 +418,17 @@ def triplane_encode_pallas(planes: Dict[str, jnp.ndarray], x: jnp.ndarray,
     return out
 
 
+def _cp_lines(planes):
+    cp = planes.get("cp")
+    return cp.astype(jnp.bfloat16) if cp is not None else None
+
+
 def _fwd_impl(planes, x, resolutions):
-    xp, N = _pad_n(x)
-    outs = []
-    for i, R in enumerate(resolutions):
-        p = planes[f"s{i}"]
-        F = p.shape[-1]
-        iu, wu, iv, wv = _interp_coords(xp, R)
-        outT = _scale_forward(
-            iu, wu, iv, wv,
-            p.reshape(3, R, R * F).astype(jnp.bfloat16), F)
-        outs.append(outT)
-    return jnp.concatenate(outs, axis=0).T[:N], (x,)
+    F = planes["s0"].shape[-1]
+    xp, N = _pad_n(x, BLOCK_N)
+    outT = _fused_forward(xp.T, _flat_planes(planes, resolutions, F),
+                          resolutions, F, _cp_lines(planes))
+    return outT.T[:N], (x,)
 
 
 def _fwd_vjp(planes, x, resolutions):
@@ -296,25 +438,26 @@ def _fwd_vjp(planes, x, resolutions):
 
 def _bwd_vjp(resolutions, saved, g):
     planes, x = saved
-    xp, N = _pad_n(x)
-    Np = xp.shape[0]
-    gp = jnp.pad(g, ((0, Np - N), (0, 0))) if Np != N else g
-
     F = planes["s0"].shape[-1]
-    dplanes = {}
-    dx = jnp.zeros_like(xp)
-    for i, R in enumerate(resolutions):
-        gT = gp[:, i * F:(i + 1) * F].T                   # [F, Np]
-        iu, wu, iv, wv = _interp_coords(xp, R)
-        dp_flat = _scale_backward_plane(iu, wu, iv, wv, gT, R)
-        dplanes[f"s{i}"] = dp_flat.reshape(3, R, R, F)
-        p_flat = planes[f"s{i}"].reshape(3, R, R * F).astype(jnp.bfloat16)
-        duv = _scale_backward_uv(iu, wu, iv, wv, p_flat, gT)  # [3, 2, Np]
-        # planes sample (u, v) = (xy, xz, yz): route back to x dims
-        dx = dx.at[:, 0].add(duv[0, 0] + duv[1, 0])
-        dx = dx.at[:, 1].add(duv[0, 1] + duv[2, 0])
-        dx = dx.at[:, 2].add(duv[1, 1] + duv[2, 1])
-    return dplanes, dx[:N]
+
+    cp = _cp_lines(planes)
+    xp, N = _pad_n(x, BLOCK_N)
+    gp = jnp.pad(g, ((0, xp.shape[0] - N), (0, 0))) \
+        if xp.shape[0] != N else g
+    dps = _fused_backward_plane(xp.T, gp.T, resolutions, F, cp)
+    dplanes = {f"s{i}": dp.reshape(3, R, R, F)
+               for i, (R, dp) in enumerate(
+                   zip(resolutions, dps[:len(resolutions)]))}
+    if cp is not None:
+        dplanes["cp"] = dps[len(resolutions)]
+
+    xp2, _ = _pad_n(x, BLOCK_N_UV)
+    gp2 = jnp.pad(g, ((0, xp2.shape[0] - N), (0, 0))) \
+        if xp2.shape[0] != N else g
+    dxT = _fused_backward_x(xp2.T, gp2.T,
+                            _flat_planes(planes, resolutions, F),
+                            resolutions, F, cp)
+    return dplanes, dxT.T[:N]
 
 
 triplane_encode_pallas.defvjp(_fwd_vjp, _bwd_vjp)

@@ -760,6 +760,29 @@ class MIPSFusionTPU:
     # meshing + checkpointing (ref Logger.py:155-298, Mesher.py)
     # ------------------------------------------------------------------
 
+    def resume_from(self, ckpt_dir: str) -> int:
+        """Restore SLAM state + submap fields from a checkpoint and
+        return the next frame index to process.
+
+        The reference only reloads checkpoints for offline meshing
+        (ref vis/render_mesh.py:58-77 — no mid-sequence resume); here a
+        run can continue from any periodic checkpoint.
+        """
+        from .checkpoint import load_ckpt
+        state, submap_params, extra = load_ckpt(ckpt_dir)
+        self.state = state
+        for i, p in enumerate(submap_params):
+            if p is not None and i < len(self.submap_params):
+                self.submap_params[i] = p
+        self.active_id = int(extra.get("active_id",
+                                       int(state.active_submap_id)))
+        self.map_opt_state = self.map_opt.init(
+            self.submap_params[self.active_id])
+        n_kf = int(state.n_kf)
+        last_frame = int(state.kf_frame_ids[n_kf - 1]) if n_kf else 0
+        self.last_switch_frame = int(state.last_switch_frame)
+        return last_frame + 1
+
     def save_checkpoint(self, tag: str = "final"):
         if not self.output_dir:
             return None
@@ -839,7 +862,8 @@ class MIPSFusionTPU:
             self.global_ba()
             self.do_global_ba = False
 
-    def run(self, n_frames: Optional[int] = None, verbose: bool = True):
+    def run(self, n_frames: Optional[int] = None, verbose: bool = True,
+            start: int = 0):
         n = n_frames or self.dataset.num_frames
         mesh_cfg = self.config.get("mesh", {})
         vis_every = mesh_cfg.get("vis", 0)
@@ -853,13 +877,13 @@ class MIPSFusionTPU:
         q: "queue.Queue" = queue.Queue(maxsize=4)
 
         def _producer():
-            for j in range(n):
+            for j in range(start, n):
                 q.put(self.dataset[j])
 
         threading.Thread(target=_producer, daemon=True).start()
 
         t_start = time.time()
-        for i in range(n):
+        for i in range(start, n):
             frame = q.get()
             self.process_frame(frame, i)
             if verbose and i % 25 == 0 and i > 0:
@@ -883,7 +907,7 @@ class MIPSFusionTPU:
                 self.save_checkpoint(str(i))
         elapsed = time.time() - t_start
         results = self.evaluate(n - 1)
-        results["fps"] = n / elapsed
+        results["fps"] = (n - start) / elapsed
         results["n_submaps"] = int(
             np.asarray(self.state.localMLP_info[:, 0]).sum())
         if self.output_dir:

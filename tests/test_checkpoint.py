@@ -1,0 +1,61 @@
+"""Checkpoint save/load round-trip + mid-sequence resume."""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from mipsfusion_tpu.datasets.synthetic import SyntheticDataset
+from mipsfusion_tpu.slam.checkpoint import load_ckpt, save_ckpt
+from mipsfusion_tpu.slam.system import MIPSFusionTPU
+from test_slam_single import tiny_config
+
+
+def test_ckpt_roundtrip(tmp_path):
+    from mipsfusion_tpu.slam import state as slam_state
+    cap = slam_state.StateCapacity(n_frames=10, n_keyframes=4,
+                                   n_submaps=2, rays_per_kf=8,
+                                   kf_rays_h=2, kf_rays_w=4)
+    st = slam_state.init_state(cap, [2.0, 2.0, 2.0])
+    st = st._replace(n_kf=jnp.asarray(2, jnp.int32),
+                     kf_frame_ids=st.kf_frame_ids.at[0].set(0).at[1].set(5))
+    params = {"planes": {"s0": jnp.ones((3, 4, 4, 2))},
+              "decoder": {"w": jnp.arange(6.0).reshape(2, 3)}}
+    save_ckpt(str(tmp_path / "ckpt_x"), st, [params, None])
+    st2, sp2, extra = load_ckpt(str(tmp_path / "ckpt_x"))
+    assert int(st2.n_kf) == 2
+    np.testing.assert_array_equal(np.asarray(st2.kf_frame_ids),
+                                  np.asarray(st.kf_frame_ids))
+    np.testing.assert_allclose(np.asarray(sp2[0]["planes"]["s0"]),
+                               np.asarray(params["planes"]["s0"]))
+    np.testing.assert_allclose(np.asarray(sp2[0]["decoder"]["w"]),
+                               np.asarray(params["decoder"]["w"]))
+    assert sp2[1] is None
+
+
+def test_mid_sequence_resume(tmp_path):
+    """Run half a sequence, checkpoint, resume in a fresh system, and
+    finish — the resumed run must stay accurate. The reference has no
+    mid-sequence resume (SURVEY §5.4); this is a capability beyond it."""
+    cfg = tiny_config(18)
+    cfg["mapping"]["first_iters"] = 120
+    cfg["data"] = {"downsample": 1, "sc_factor": 1.0,
+                   "output": str(tmp_path), "exp_name": "resume"}
+    ds = SyntheticDataset(cfg, n_frames=18, trajectory="orbit",
+                          span=18 / 200.0)
+
+    slam1 = MIPSFusionTPU(cfg, dataset=ds)
+    for i in range(12):
+        slam1.process_frame(ds[i], i)
+    ckpt_dir = slam1.save_checkpoint("mid")
+
+    slam2 = MIPSFusionTPU(cfg, dataset=ds)
+    start = slam2.resume_from(ckpt_dir)
+    # resume point = last keyframe's frame + 1
+    n_kf = int(slam2.state.n_kf)
+    expected = int(slam2.state.kf_frame_ids[n_kf - 1]) + 1
+    assert start == expected
+
+    results = slam2.run(n_frames=18, verbose=False, start=start)
+    assert results["absolute_translational_error.rmse"] < 0.08, results
