@@ -23,7 +23,8 @@ from mipsfusion_tpu.config import load_config
 from mipsfusion_tpu.datasets.synthetic import SyntheticDataset
 from mipsfusion_tpu.slam.system import MIPSFusionTPU
 
-N_WARM = 7      # frames for compile + warmup (excluded from timing)
+N_WARM = 16     # a full keyframe cycle: covers every jit shape
+                # (track, BA, keyframe add, manager predicates)
 N_BENCH = 30    # timed steady-state frames
 
 

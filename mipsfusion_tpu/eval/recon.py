@@ -1,0 +1,86 @@
+"""Reconstruction quality metrics.
+
+The reference evaluates meshes offline against GT scans (C-L1 in the
+paper; not vendored in-repo — SURVEY §6). Here:
+
+  * ``mesh_accuracy_vs_sdf``: mean |SDF| of mesh vertices under an
+    analytic ground-truth SDF (exact for the synthetic scenes) — the
+    accuracy half of Chamfer-L1 with a perfect correspondence oracle;
+  * ``mesh_completion``: fraction of GT surface samples within ``tau``
+    of the mesh (completion half of C-L1 / F-score style);
+  * ``depth_l1``: re-rendered depth error against GT frames.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+import numpy as np
+
+
+def mesh_accuracy_vs_sdf(verts: np.ndarray,
+                         sdf_fn: Callable[[np.ndarray], np.ndarray]
+                         ) -> float:
+    """Mean |sdf| over mesh vertices (meters)."""
+    if len(verts) == 0:
+        return float("inf")
+    d = np.abs(np.asarray(sdf_fn(verts)))
+    return float(d.mean())
+
+
+def mesh_completion(gt_points: np.ndarray, verts: np.ndarray,
+                    tau: float = 0.05, chunk: int = 4096) -> float:
+    """Fraction of GT surface points with a mesh vertex within tau."""
+    if len(verts) == 0 or len(gt_points) == 0:
+        return 0.0
+    hit = 0
+    for s in range(0, len(gt_points), chunk):
+        g = gt_points[s:s + chunk]
+        d2 = ((g[:, None, :] - verts[None, :, :]) ** 2).sum(-1)
+        hit += int((d2.min(axis=1) < tau * tau).sum())
+    return hit / len(gt_points)
+
+
+def depth_l1(pred_depth: np.ndarray, gt_depth: np.ndarray) -> float:
+    """Mean |depth error| over valid GT pixels (meters)."""
+    valid = gt_depth > 0
+    if not valid.any():
+        return 0.0
+    return float(np.abs(pred_depth - gt_depth)[valid].mean())
+
+
+def evaluate_synthetic_mesh(slam, n_gt_samples: int = 20000,
+                            seed: int = 0) -> Dict[str, float]:
+    """Mesh accuracy/completion against the synthetic dataset's analytic
+    SDF (only valid for SyntheticDataset runs)."""
+    import jax.numpy as jnp
+    from ..datasets.synthetic import scene_sdf
+
+    room_half = slam.dataset.room_half
+    verts, faces, _ = slam.extract_mesh(joint=True)
+
+    def sdf_fn(pts):
+        return np.asarray(scene_sdf(jnp.asarray(pts, jnp.float32),
+                                    room_half))
+
+    acc = mesh_accuracy_vs_sdf(verts, sdf_fn)
+
+    # GT surface samples: project random points to the surface via the
+    # SDF gradient (two Newton steps are ample for this analytic SDF)
+    rng = np.random.default_rng(seed)
+    half = np.asarray(room_half)
+    pts = rng.uniform(-half * 0.98, half * 0.98,
+                      (n_gt_samples, 3)).astype(np.float32)
+    eps = 1e-3
+    for _ in range(3):
+        d = np.asarray(sdf_fn(pts))[:, None]
+        grad = np.stack([
+            np.asarray(sdf_fn(pts + np.array(o, np.float32) * eps))
+            - np.asarray(sdf_fn(pts - np.array(o, np.float32) * eps))
+            for o in ((1, 0, 0), (0, 1, 0), (0, 0, 1))], axis=-1) / (2 * eps)
+        norm = np.linalg.norm(grad, axis=-1, keepdims=True) + 1e-9
+        pts = pts - d * grad / norm
+    on_surface = np.abs(np.asarray(sdf_fn(pts))) < 5e-3
+    comp = mesh_completion(pts[on_surface], verts, tau=0.05)
+    return {"mesh_accuracy_m": acc, "mesh_completion@5cm": comp,
+            "n_vertices": int(len(verts))}

@@ -116,3 +116,29 @@ def test_mesher_on_trained_field():
     r = np.linalg.norm(verts, axis=-1)
     # mesh approximates the 0.5-radius sphere
     assert abs(np.median(r) - 0.5) < 0.08, np.median(r)
+
+
+def test_recon_metrics_on_synthetic_run():
+    """End-to-end: short SLAM run -> joint mesh -> accuracy/completion
+    against the analytic GT SDF."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_slam_single import tiny_config
+    from mipsfusion_tpu.datasets.synthetic import SyntheticDataset
+    from mipsfusion_tpu.slam.system import MIPSFusionTPU
+    from mipsfusion_tpu.eval.recon import evaluate_synthetic_mesh
+
+    cfg = tiny_config(14)
+    cfg["mapping"]["first_iters"] = 250
+    cfg["mesh"] = {"voxel_final": 0.08, "extract_final": False}
+    ds = SyntheticDataset(cfg, n_frames=14, trajectory="orbit",
+                          span=14 / 200.0)
+    slam = MIPSFusionTPU(cfg, dataset=ds)
+    slam.run(verbose=False)
+    metrics = evaluate_synthetic_mesh(slam, n_gt_samples=4000)
+    assert metrics["n_vertices"] > 500
+    # tiny budgets: demand the mesh hugs the true surface within ~6 cm
+    assert metrics["mesh_accuracy_m"] < 0.06, metrics
+    # the camera sees only part of the room in 14 frames; completion is
+    # partial but must be nonzero
+    assert metrics["mesh_completion@5cm"] > 0.05, metrics

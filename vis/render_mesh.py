@@ -24,7 +24,14 @@ def main():
     parser.add_argument("--ckpt", type=str, default="final")
     parser.add_argument("--voxel_size", type=float, default=None)
     parser.add_argument("--no_joint", action="store_true")
+    parser.add_argument("--cpu", action="store_true",
+                        help="force the CPU backend (e.g. while the TPU "
+                             "is busy)")
     args = parser.parse_args()
+
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     from mipsfusion_tpu.config import load_config
     from mipsfusion_tpu.mesher import Mesher, MeshConfig
