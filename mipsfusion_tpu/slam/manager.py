@@ -31,6 +31,7 @@ Returned flags match the reference contract (ref :361-364):
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -350,31 +351,37 @@ class Manager:
         anchor = st.kf_c2w[st.localMLP_first_kf[active_id]]
         return anchor @ pose_local
 
-    def _process_normal(self, st: SlamState, depth, rays_d, pose_local,
-                        frame_id: int, kf_id: int, force: bool):
+    def _predicates(self, st: SlamState, depth, rays_d, pose_local,
+                    wait_id: int):
+        """One fused device call + one host readback (see
+        manager_predicates)."""
         active_id = int(st.active_submap_id)
-        pose_world = self._pose_world(st, pose_local, active_id)
-        fr_center, fr_len = get_frame_surface_bbox(
-            pose_world, depth, rays_d, self.cfg.near, self.cfg.far)
-        fr_center, fr_len = np.asarray(fr_center), np.asarray(fr_len)
+        anchor = st.kf_c2w[st.localMLP_first_kf[active_id]]
+        pred = manager_predicates(
+            st.localMLP_info, st.localMLP_max_len, anchor, pose_local,
+            depth, rays_d, jnp.asarray(active_id),
+            jnp.asarray(max(wait_id, 0)),
+            jnp.asarray(self.cfg.min_cr_localMLP_len, jnp.float32),
+            self.cfg.near, self.cfg.far, self.cr_rows, self.cr_cols)
+        return {k: np.asarray(v) for k, v in pred.items()}
 
-        nearest = self._nearest_exclude(st, active_id, fr_center, 3)
-        info = np.asarray(st.localMLP_info)
-        if len(nearest) > 0:
-            scores = bbox_hit_scores(
-                depth, rays_d, pose_world,
-                jnp.asarray(info[nearest, 1:4]),
-                jnp.asarray(info[nearest, 4:7]),
-                self.cr_rows, self.cr_cols)
-            mo_id = int(nearest[int(jnp.argmax(scores))])
-        else:
-            mo_id = active_id
-        cr_mo = self._cr(st, depth, rays_d, pose_world, mo_id)
+    def _process_normal(self, st: SlamState, depth, rays_d, pose_local,
+                        frame_id: int, kf_id: int, force: bool,
+                        pred=None):
+        active_id = int(st.active_submap_id)
+        if pred is None:
+            pred = self._predicates(st, depth, rays_d, pose_local, -1)
+        pose_world = jnp.asarray(pred["pose_world"])
+        fr_center, fr_len = pred["fr_center"], pred["fr_len"]
+
+        used = int(np.asarray(st.localMLP_info[:, 0]).sum())
+        mo_id = int(pred["mo_id"]) if used > 1 else active_id
+        cr_mo = float(pred["cr_mo"])
         same = (mo_id == active_id)
         overlap_args = (st, depth, rays_d, pose_world)
 
         # case 1: containment without expansion
-        cr_active = self._cr(st, depth, rays_d, pose_world, active_id)
+        cr_active = float(pred["cr_active"])
         if force or cr_active >= self.cfg.min_containing_ratio:
             if not same and cr_mo >= self.cfg.min_containing_ratio_mo:
                 switch = self._double_binding(active_id, mo_id, cr_mo,
@@ -389,11 +396,7 @@ class Manager:
             return st, flag
 
         # case 2: containment after expansion
-        max_len = np.asarray(st.localMLP_max_len[active_id])
-        new_c, new_l = expand_rule(info[active_id, 1:4], info[active_id, 4:7],
-                                   fr_center, fr_len, max_len)
-        cr_new = self._cr(st, depth, rays_d, pose_world, active_id,
-                          center=new_c, length=new_l)
+        cr_new = float(pred["cr_active_new"])
         if cr_new >= self.cfg.min_containing_ratio:
             if not same and cr_mo >= self.cfg.min_containing_ratio_mo:
                 switch = self._double_binding(active_id, mo_id, cr_mo,
@@ -460,3 +463,116 @@ class Manager:
                                     np.asarray(fr_len), active_id,
                                     self.localMLP_Id_wait, pose_world, True)
         return st, flag
+
+
+# ---------------------------------------------------------------------------
+# fused decision predicates: ONE jitted call + ONE host readback per
+# keyframe (the per-predicate eager dispatches otherwise cost ~450 ms
+# through the remote-TPU tunnel)
+# ---------------------------------------------------------------------------
+
+def expand_rule_jnp(center, length, kf_center, kf_len, max_len):
+    """Vectorized jnp version of expand_rule (same semantics)."""
+    kf_min = kf_center - 0.5 * kf_len
+    kf_max = kf_center + 0.5 * kf_len
+    lo, hi = center - 0.5 * length, center + 0.5 * length
+
+    contained = jnp.all(kf_min >= lo) & jnp.all(kf_max <= hi)
+    u_lo = jnp.minimum(kf_min, lo)
+    u_hi = jnp.maximum(kf_max, hi)
+
+    can = length < max_len
+    fits = (u_hi - u_lo) <= max_len
+    pos_need = jnp.abs(u_hi - hi)
+    neg_need = jnp.abs(lo - u_lo)
+    budget = max_len - length
+    single = (pos_need == 0.0) | (neg_need == 0.0)
+    denom = jnp.maximum(pos_need + neg_need, 1e-12)
+
+    hi_c2 = jnp.where(pos_need > 0, hi + budget, hi)
+    lo_c2 = jnp.where(pos_need > 0, lo, lo - budget)
+    hi_c3 = hi + budget * pos_need / denom
+    lo_c3 = lo - budget * neg_need / denom
+
+    new_hi = jnp.where(~can, hi,
+                       jnp.where(fits, u_hi,
+                                 jnp.where(single, hi_c2, hi_c3)))
+    new_lo = jnp.where(~can, lo,
+                       jnp.where(fits, u_lo,
+                                 jnp.where(single, lo_c2, lo_c3)))
+    new_hi = jnp.where(contained, hi, new_hi)
+    new_lo = jnp.where(contained, lo, new_lo)
+    new_len = new_hi - new_lo
+    return new_lo + 0.5 * new_len, new_len
+
+
+@partial(jax.jit, static_argnames=())
+def manager_predicates(localMLP_info, localMLP_max_len, anchor,
+                       pose_local, depth_img, rays_d_img, active_id,
+                       wait_id, min_cr_len, near, far, rows, cols):
+    """All per-keyframe decision quantities in one device program.
+
+    Returns a dict of small arrays: frustum bbox, cr_active,
+    cr_active_expanded (+ the expanded AABB), the most-overlapping
+    submap id among the top-3 nearest (excluding active), its cr, and
+    cr of the wait-loop submap.
+    """
+    pose_world = _mm_pose(anchor, pose_local)
+    fr_center, fr_len = get_frame_surface_bbox(
+        pose_world, depth_img, rays_d_img, near, far)
+
+    # surface points shared by all predicates
+    d = depth_img[rows, cols][:, None]
+    dirs = rays_d_img[rows, cols]
+    rays_o, rays_d = rays_to_world(dirs, pose_world)
+    pts = rays_o + rays_d * d
+    valid = d[:, 0] > 0.0
+    n_valid = jnp.maximum(jnp.sum(valid), 1)
+
+    def cr_of(center, length, apply_floor):
+        ln = jnp.where(apply_floor, jnp.maximum(length, min_cr_len),
+                       length)
+        lo, hi = center - 0.5 * ln, center + 0.5 * ln
+        inside = jnp.all((pts > lo) & (pts < hi), axis=-1)
+        return jnp.sum(inside & valid) / n_valid
+
+    M = localMLP_info.shape[0]
+    used = localMLP_info[:, 0] > 0
+    centers = localMLP_info[:, 1:4]
+    lengths = localMLP_info[:, 4:7]
+
+    cr_active = cr_of(centers[active_id], lengths[active_id], True)
+    new_c, new_l = expand_rule_jnp(centers[active_id], lengths[active_id],
+                                   fr_center, fr_len,
+                                   localMLP_max_len[active_id])
+    cr_active_new = cr_of(new_c, new_l, False)
+
+    # most-overlapping among top-3 nearest used submaps excluding active
+    dists = jnp.linalg.norm(centers - fr_center, axis=-1)
+    excl = (~used) | (jnp.arange(M) == active_id)
+    dists = jnp.where(excl, 1e9, dists)
+    _, top3 = jax.lax.top_k(-dists, 3)
+    lo3 = centers[top3] - 0.5 * lengths[top3]
+    hi3 = centers[top3] + 0.5 * lengths[top3]
+    inside3 = jnp.all((pts[:, None, :] > lo3[None]) &
+                      (pts[:, None, :] < hi3[None]), axis=-1)   # [N,3]
+    scores = jnp.sum(inside3 & valid[:, None], axis=0)
+    scores = jnp.where(dists[top3] >= 1e9, -1, scores)
+    mo_id = top3[jnp.argmax(scores)]
+    cr_mo = cr_of(centers[mo_id], lengths[mo_id], True)
+    n_avail = jnp.sum(~excl)
+    mo_id = jnp.where(n_avail > 0, mo_id, active_id)
+
+    cr_wait = cr_of(centers[wait_id], lengths[wait_id], True)
+
+    return {
+        "fr_center": fr_center, "fr_len": fr_len,
+        "cr_active": cr_active, "cr_active_new": cr_active_new,
+        "new_center": new_c, "new_len": new_l,
+        "mo_id": mo_id, "cr_mo": cr_mo, "cr_wait": cr_wait,
+        "pose_world": pose_world,
+    }
+
+
+def _mm_pose(a, b):
+    return jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)

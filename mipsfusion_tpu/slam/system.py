@@ -187,15 +187,20 @@ class MIPSFusionTPU:
     # ------------------------------------------------------------------
 
     def _frame_arrays(self, frame: Dict):
-        """One packed H2D transfer per frame (slicing happens on device;
-        three separate transfers triple the tunnel round-trips)."""
-        packed = np.concatenate(
-            [np.asarray(frame["direction"]), np.asarray(frame["rgb"]),
-             np.asarray(frame["depth"])[..., None]], axis=-1)
-        arr = jnp.asarray(packed)
-        # note: the packed layout IS the keyframe-ray layout
-        # (direction, rgb, depth) — reuse it instead of re-concatenating
-        self._packed_frame = arr
+        """One packed H2D transfer per frame, cached by frame id —
+        track/BA/keyframe stages all consume the same frame (slicing
+        happens on device; separate transfers multiply the tunnel
+        round-trips)."""
+        fid = frame.get("frame_id")
+        if getattr(self, "_packed_fid", None) != fid or fid is None:
+            packed = np.concatenate(
+                [np.asarray(frame["direction"]), np.asarray(frame["rgb"]),
+                 np.asarray(frame["depth"])[..., None]], axis=-1)
+            # the packed layout IS the keyframe-ray layout
+            # (direction, rgb, depth) — reused instead of re-concatenating
+            self._packed_frame = jnp.asarray(packed)
+            self._packed_fid = fid
+        arr = self._packed_frame
         return arr[..., 3:6], arr[..., 6], arr[..., :3]
 
     def _next_key(self):
