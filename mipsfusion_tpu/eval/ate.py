@@ -12,7 +12,7 @@ Pure numpy — evaluation runs host-side off the hot path.
 from __future__ import annotations
 
 import os
-from typing import Dict, Tuple
+from typing import Dict
 
 import numpy as np
 

@@ -20,7 +20,7 @@ TPU-native counterpart of the reference Mesher
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional
 
 import jax
 import jax.numpy as jnp

@@ -38,9 +38,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.geometry import (get_frame_surface_bbox, pose_inverse,
-                            pts_in_bbox, rays_to_world)
-from . import state as slam_state
+from ..ops.geometry import (get_frame_surface_bbox, pts_in_bbox,
+                            rays_to_world)
 from .state import SlamState
 
 

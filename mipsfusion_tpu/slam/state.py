@@ -24,7 +24,7 @@ Conventions:
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, NamedTuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
