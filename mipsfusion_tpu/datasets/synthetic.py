@@ -138,6 +138,13 @@ class SyntheticDataset:
             s = np.sin(np.pi * t)
             ang = 1.4 * s
             pos = np.array([2.2 * s, 0.0, 0.8 * np.sin(2 * np.pi * t)])
+        elif trajectory == "outback":
+            # straight out along +x and straight back, constant heading:
+            # the return leg revisits the exact starting views, which
+            # must trigger a switch back to the first submap
+            tri = 1.0 - abs(2.0 * t - 1.0)   # 0 -> 1 -> 0
+            ang = 0.25 * np.sin(2 * np.pi * t)
+            pos = np.array([2.4 * tri, 0.15 * np.sin(4 * np.pi * t), 0.0])
         else:
             raise ValueError(trajectory)
 

@@ -265,7 +265,7 @@ class Manager:
     def _apply_msg1(self, st: SlamState, kf_id: int, kf_center, kf_len,
                     id1: int, id2: int, pose_world, switch: bool):
         info = np.asarray(st.localMLP_info)
-        max_len = np.asarray(st.localMLP_max_len)
+        max_len = np.array(st.localMLP_max_len)  # mutable copy
         if switch:
             max_len[id2] = self.cfg.localMLP_max_len_back
         c1, l1 = expand_rule(info[id1, 1:4], info[id1, 4:7], kf_center,

@@ -161,6 +161,7 @@ class MIPSFusionTPU:
         self._inactive_rr = 0
 
         # loop-closure transient state
+        self.debug_loop = bool(config.get("debug_loop", False))
         self.rectified_local_pose: Optional[jnp.ndarray] = None
         self.temp_local_pose: Optional[jnp.ndarray] = None
         self.do_global_ba = False
@@ -563,7 +564,10 @@ class MIPSFusionTPU:
                              [0.0, self.dataset.fy, self.dataset.cy],
                              [0.0, 0.0, 1.0]])
         uv = jax.vmap(lambda p: project_to_pixel(K_mat, p))(pts_cam)
-        edge = 20
+        # reference uses a fixed 20px margin on 1200x680 images
+        # (ref Manager.py:323); keep it proportional (~3%) so small test
+        # images are not dominated by the margin
+        edge = max(2, int(round(0.03 * min(self.H, self.W))))
         vis = ((uv[..., 0] > edge) & (uv[..., 0] < self.W - edge)
                & (uv[..., 1] > edge) & (uv[..., 1] < self.H - edge)
                & (pts_cam[..., 2] < 0))                   # [k,N]
@@ -579,12 +583,19 @@ class MIPSFusionTPU:
         # min_pts scaled to our sample count (reference samples
         # n_rays_h*n_rays_w=1600 and requires 200)
         need = mcfg_mgr.min_ovlp_pts
+        if self.debug_loop:
+            print(f"  [overlap mo={mo_id}] related={len(related)} "
+                  f"visible={int(jnp.sum(mask_pts))} "
+                  f"in_bbox={int(jnp.sum(mask_in))} valid={n_valid} "
+                  f"(need {need})")
         if n_valid < need:
             return False, None
 
         # ICP rectification
         ok, n_corr, pose_final = self._switch_pose_rectifying(
             st, mo_id, active_id, top_kf_ids, vis, depth, rays_d)
+        if self.debug_loop:
+            print(f"  [overlap mo={mo_id}] icp ok={ok} inliers={n_corr}")
         if not ok:
             return False, None
         self.rectified_local_pose = pose_final

@@ -1,0 +1,96 @@
+"""End-to-end organic loop closure on the out-and-back trajectory.
+
+The camera travels out along +x (spawning new submaps as containing
+ratios drop) and returns along the same path with the same heading: the
+return leg must re-enter a previous submap's region, pass overlap
+verification + ICP rectification, switch the active submap back
+(msg1/flag 1), run switch-BA and pose-graph optimization — the full
+reference loop-closure pipeline (ref Manager.py:460-489,
+PoseCorrector.py:99-216, mipsfusion.py:607-635,700-706).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from mipsfusion_tpu.datasets.synthetic import SyntheticDataset
+from mipsfusion_tpu.slam.system import MIPSFusionTPU
+from test_slam_single import tiny_config
+
+
+def loop_config(n_frames=160):
+    cfg = tiny_config(n_frames)
+    cfg["use_manager"] = True
+    cfg["synthetic"] = {"trajectory": "outback", "n_frames": n_frames,
+                        "span": 1.0}
+    cfg["mapping"]["keyframe_every"] = 10
+    cfg["mapping"]["localMLP_max_len"] = [2.0, 2.0, 2.0]
+    cfg["mapping"]["localMLP_max_len_back"] = [2.0, 2.0, 2.0]
+    cfg["mapping"]["min_cr_localMLP_len"] = [1.8, 1.8, 1.8]
+    cfg["mapping"]["min_containing_ratio"] = 0.75
+    cfg["mapping"]["min_containing_ratio_mo"] = 0.6
+    cfg["mapping"]["min_containing_ratio_back"] = 0.5
+    # thresholds scaled to the tiny keyframe store (30x40 rays):
+    # the reference's min_correspondence=2000 assumes 150x200=30k rays
+    cfg["mapping"]["overlapping"] = {"n_rays_h": 12, "n_rays_w": 16,
+                                     "min_pts": 25}
+    cfg["tracking"]["switch"] = {
+        "lr_rot": 0.001, "lr_trans": 0.001, "align_threshold": 0.08,
+        "including_last": 0, "min_correspondence": 300,
+        "min_trans_dist": 0.5, "map_num": 6, "iter_RO": 3, "iter": 6,
+    }
+    cfg["mapping"]["global_BA"] = {"key_edge_weight": 0.1}
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def loop_e2e():
+    cfg = loop_config()
+    ds = SyntheticDataset(cfg, n_frames=cfg["synthetic"]["n_frames"],
+                          trajectory="outback", span=1.0)
+    slam = MIPSFusionTPU(cfg, dataset=ds)
+    switches = []
+    orig = slam.active_submap_switch
+
+    def spy(frame, i, kf_id):
+        switches.append(i)
+        return orig(frame, i, kf_id)
+
+    slam.active_submap_switch = spy
+    results = slam.run(verbose=False)
+    return slam, results, switches
+
+
+def test_switch_back_happened(loop_e2e):
+    slam, results, switches = loop_e2e
+    assert len(switches) >= 1, "no switch-to-previous occurred"
+    # a switch permanently enables optim_cur (ref mipsfusion.py:634)
+    assert slam.optim_cur
+    assert results["n_submaps"] >= 2
+
+
+def test_overlapping_keyframes_bound(loop_e2e):
+    slam, _, _ = loop_e2e
+    st = slam.state
+    kf_ref = np.asarray(st.keyframe_ref[:int(st.n_kf)])
+    assert (kf_ref == -2).sum() >= 1, kf_ref
+    # overlapping kfs are bound to two submaps
+    ovlp = np.where(kf_ref == -2)[0]
+    binds = np.asarray(st.keyframe_localMLP[ovlp])
+    assert (binds[:, 1] >= 0).all(), binds
+
+
+def test_loop_improves_or_holds_accuracy(loop_e2e):
+    _, results, _ = loop_e2e
+    assert results["absolute_translational_error.rmse"] < 0.05, results
+
+
+def test_anchors_remain_valid_after_pgo(loop_e2e):
+    slam, _, _ = loop_e2e
+    st = slam.state
+    used = int(np.asarray(st.localMLP_info[:, 0]).sum())
+    for m in range(used):
+        A = np.asarray(st.kf_c2w[int(st.localMLP_first_kf[m])])
+        assert np.isfinite(A).all()
+        np.testing.assert_allclose(A[:3, :3] @ A[:3, :3].T, np.eye(3),
+                                   atol=1e-3)
