@@ -35,14 +35,27 @@ from ..models import scene_rep as sr
 
 def make_mesh(n_devices: Optional[int] = None,
               data_axis: Optional[int] = None) -> Mesh:
-    """1D or 2D device mesh: (data,) or (data, submap)."""
+    """1D or 2D device mesh: (data,) or (data, submap).
+
+    Raises if fewer than ``n_devices`` devices are available — a mesh
+    that silently shrinks would make sharding checks vacuous (they
+    would "pass" on a single device while testing nothing).
+    """
     devs = jax.devices()
     n = n_devices or len(devs)
+    if len(devs) < n:
+        raise ValueError(
+            f"make_mesh({n}) needs {n} devices but only {len(devs)} are "
+            f"available on backend '{jax.default_backend()}'")
     devs = np.asarray(devs[:n])
     if data_axis is None or data_axis == n:
-        return Mesh(devs, ("data",))
-    assert n % data_axis == 0
-    return Mesh(devs.reshape(data_axis, n // data_axis), ("data", "submap"))
+        mesh = Mesh(devs, ("data",))
+    else:
+        assert n % data_axis == 0
+        mesh = Mesh(devs.reshape(data_axis, n // data_axis),
+                    ("data", "submap"))
+    assert mesh.devices.size == n
+    return mesh
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
