@@ -96,11 +96,18 @@ def _raycast(rays_o, rays_d, room_half, far, n_steps: int = 96):
 
 
 class SyntheticDataset:
-    """Map-style dataset mirroring the reference's per-frame dict contract."""
+    """Map-style dataset mirroring the reference's per-frame dict contract.
+
+    Frames are rendered entirely ON DEVICE (``packed(i)`` returns the
+    device-resident [H, W, 7] = (direction, rgb, depth) frame); the
+    numpy dict of ``__getitem__`` is derived from it on demand. The SLAM
+    loop consumes ``packed`` directly, so the per-frame host<->device
+    transfers of the reference's DataLoader path disappear.
+    """
 
     def __init__(self, cfg: Dict, n_frames: int = 200,
                  trajectory: str = "orbit", seed: int = 0,
-                 span: float = 1.0):
+                 span: float = 1.0, device_cache: int = 0):
         # span < 1 covers only the first fraction of the trajectory,
         # keeping per-frame motion realistic for short test sequences
         self.span = span
@@ -115,10 +122,16 @@ class SyntheticDataset:
         self.room_half = jnp.asarray(
             cfg.get("synthetic", {}).get("room_half", [3.0, 2.2, 2.5]))
 
-        self.rays_d = np.asarray(
-            get_camera_rays(self.H, self.W, self.fx, self.fy, self.cx, self.cy))
+        self._rays_d_dev = get_camera_rays(self.H, self.W, self.fx,
+                                           self.fy, self.cx, self.cy)
+        self.rays_d = np.asarray(self._rays_d_dev)
         self.poses = [self._pose(i, trajectory) for i in range(n_frames)]
         self._cache: Dict[int, Dict] = {}
+        # device frame cache: 0 = unbounded (bench/test sequences are
+        # short); > 0 keeps the most recent N packed frames on device
+        self._device_cache_max = device_cache
+        self._dev_cache: Dict[int, jnp.ndarray] = {}
+        self._dev_order: list = []
 
     # -- camera trajectory --------------------------------------------------
     def _pose(self, i: int, trajectory: str) -> np.ndarray:
@@ -157,29 +170,50 @@ class SyntheticDataset:
         return c2w
 
     # -- rendering ----------------------------------------------------------
-    def _render(self, index: int) -> Dict:
-        c2w = self.poses[index]
-        dirs = self.rays_d.reshape(-1, 3)          # OpenGL dirs, dz = -1
-        norms = np.linalg.norm(dirs, axis=-1)
+    def _render_packed(self, c2w: jnp.ndarray) -> jnp.ndarray:
+        """One jitted device render -> packed [H, W, 7] (dir, rgb, depth)."""
+        dirs = self._rays_d_dev.reshape(-1, 3)      # OpenGL dirs, dz = -1
+        norms = jnp.linalg.norm(dirs, axis=-1)
         rays_d_w = dirs @ c2w[:3, :3].T
         unit_d = rays_d_w / norms[:, None]
-        rays_o_w = np.broadcast_to(c2w[:3, 3], rays_d_w.shape)
-        s, valid = _raycast(jnp.asarray(rays_o_w), jnp.asarray(unit_d),
-                            self.room_half, self.far * 2.0)
-        s = np.asarray(s)
+        rays_o_w = jnp.broadcast_to(c2w[:3, 3], rays_d_w.shape)
+        s, valid = _raycast(rays_o_w, unit_d, self.room_half, self.far * 2.0)
         pts = rays_o_w + unit_d * s[:, None]
-        rgb = np.asarray(scene_albedo(jnp.asarray(pts)))
-        rgb = np.where(np.asarray(valid)[:, None], rgb, 0.0)
+        rgb = jnp.where(valid[:, None], scene_albedo(pts), 0.0)
         # z-depth convention: pts = o + dirs * depth with |dir_z| = 1, so
         # depth = euclidean distance / ||dirs|| (matches the reference's
         # target_d semantics, datasets/dataset.py depth images)
         depth = s / norms
-        depth = np.where(np.asarray(valid) & (depth < self.far), depth, 0.0)
+        depth = jnp.where(valid & (depth < self.far), depth, 0.0)
+        H, W = self.H, self.W
+        return jnp.concatenate(
+            [self._rays_d_dev, rgb.reshape(H, W, 3),
+             depth.reshape(H, W, 1)], axis=-1)
+
+    def gt_pose(self, index: int) -> np.ndarray:
+        return self.poses[index]
+
+    def packed(self, index: int) -> jnp.ndarray:
+        """Device-resident [H, W, 7] frame (direction, rgb, depth)."""
+        if index not in self._dev_cache:
+            if not hasattr(self, "_render_jit"):
+                self._render_jit = jax.jit(self._render_packed)
+            self._dev_cache[index] = self._render_jit(
+                jnp.asarray(self.poses[index]))
+            self._dev_order.append(index)
+            if (self._device_cache_max
+                    and len(self._dev_order) > self._device_cache_max):
+                old = self._dev_order.pop(0)
+                del self._dev_cache[old]
+        return self._dev_cache[index]
+
+    def _render(self, index: int) -> Dict:
+        packed = np.asarray(self.packed(index))
         return {
             "frame_id": index,
-            "c2w": c2w,
-            "rgb": rgb.reshape(self.H, self.W, 3).astype(np.float32),
-            "depth": depth.reshape(self.H, self.W).astype(np.float32),
+            "c2w": self.poses[index],
+            "rgb": packed[..., 3:6].astype(np.float32),
+            "depth": packed[..., 6].astype(np.float32),
             "direction": self.rays_d.astype(np.float32),
         }
 

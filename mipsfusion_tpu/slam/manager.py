@@ -263,9 +263,12 @@ class Manager:
     # -- state mutators (msg1/2/3, ref :522-606) --------------------------
 
     def _apply_msg1(self, st: SlamState, kf_id: int, kf_center, kf_len,
-                    id1: int, id2: int, pose_world, switch: bool):
-        info = np.asarray(st.localMLP_info)
-        max_len = np.array(st.localMLP_max_len)  # mutable copy
+                    id1: int, id2: int, pose_world, switch: bool,
+                    info=None, max_len=None):
+        if info is None:
+            info = np.asarray(st.localMLP_info)
+        max_len = np.array(st.localMLP_max_len if max_len is None
+                           else max_len)  # mutable copy
         if switch:
             max_len[id2] = self.cfg.localMLP_max_len_back
         c1, l1 = expand_rule(info[id1, 1:4], info[id1, 4:7], kf_center,
@@ -298,9 +301,11 @@ class Manager:
         return st, 2
 
     def _apply_msg2(self, st: SlamState, kf_id: int, kf_center, kf_len,
-                    submap_id: int):
-        info = np.asarray(st.localMLP_info)
-        max_len = np.asarray(st.localMLP_max_len[submap_id])
+                    submap_id: int, info=None, max_len=None):
+        if info is None:
+            info = np.asarray(st.localMLP_info)
+        max_len = np.asarray(st.localMLP_max_len[submap_id]
+                             if max_len is None else max_len[submap_id])
         c, ln = expand_rule(info[submap_id, 1:4], info[submap_id, 4:7],
                             kf_center, kf_len, max_len)
         st = st._replace(
@@ -313,8 +318,10 @@ class Manager:
         return st, 2
 
     def _apply_msg3(self, st: SlamState, kf_id: int, frame_id: int,
-                    kf_center, kf_len, active_id: int, pose_world):
-        info = np.asarray(st.localMLP_info)
+                    kf_center, kf_len, active_id: int, pose_world,
+                    info=None):
+        if info is None:
+            info = np.asarray(st.localMLP_info)
         new_id = int(info[:, 0].sum())  # first unused slot
         st = st._replace(
             localMLP_info=st.localMLP_info.at[new_id].set(
@@ -352,8 +359,10 @@ class Manager:
 
     def _predicates(self, st: SlamState, depth, rays_d, pose_local,
                     wait_id: int):
-        """One fused device call + one host readback (see
-        manager_predicates)."""
+        """One fused device call + one BATCHED host readback (each
+        separate np.asarray costs a full tunnel round-trip; device_get
+        fetches the whole dict at once). The submap tables ride along so
+        the msg1/2/3 mutators never read back again."""
         active_id = int(st.active_submap_id)
         anchor = st.kf_c2w[st.localMLP_first_kf[active_id]]
         pred = manager_predicates(
@@ -362,7 +371,9 @@ class Manager:
             jnp.asarray(max(wait_id, 0)),
             jnp.asarray(self.cfg.min_cr_localMLP_len, jnp.float32),
             self.cfg.near, self.cfg.far, self.cr_rows, self.cr_cols)
-        return {k: np.asarray(v) for k, v in pred.items()}
+        pred["localMLP_info"] = st.localMLP_info
+        pred["localMLP_max_len"] = st.localMLP_max_len
+        return jax.device_get(pred)
 
     def _process_normal(self, st: SlamState, depth, rays_d, pose_local,
                         frame_id: int, kf_id: int, force: bool,
@@ -372,8 +383,9 @@ class Manager:
             pred = self._predicates(st, depth, rays_d, pose_local, -1)
         pose_world = jnp.asarray(pred["pose_world"])
         fr_center, fr_len = pred["fr_center"], pred["fr_len"]
+        info, max_len = pred["localMLP_info"], pred["localMLP_max_len"]
 
-        used = int(np.asarray(st.localMLP_info[:, 0]).sum())
+        used = int(info[:, 0].sum())
         mo_id = int(pred["mo_id"]) if used > 1 else active_id
         cr_mo = float(pred["cr_mo"])
         same = (mo_id == active_id)
@@ -387,10 +399,10 @@ class Manager:
                                               overlap_args)
                 st, flag = self._apply_msg1(st, kf_id, fr_center, fr_len,
                                             active_id, mo_id, pose_world,
-                                            switch)
+                                            switch, info, max_len)
             else:
                 st, flag = self._apply_msg2(st, kf_id, fr_center, fr_len,
-                                            active_id)
+                                            active_id, info, max_len)
                 self.double_binding_counter = 0
             return st, flag
 
@@ -402,10 +414,10 @@ class Manager:
                                               overlap_args)
                 st, flag = self._apply_msg1(st, kf_id, fr_center, fr_len,
                                             active_id, mo_id, pose_world,
-                                            switch)
+                                            switch, info, max_len)
             else:
                 st, flag = self._apply_msg2(st, kf_id, fr_center, fr_len,
-                                            active_id)
+                                            active_id, info, max_len)
                 self.double_binding_counter = 0
             return st, flag
 
@@ -413,12 +425,14 @@ class Manager:
         # cases 3-5
         if same:  # case 3: new submap
             st, flag, _ = self._apply_msg3(st, kf_id, frame_id, fr_center,
-                                           fr_len, active_id, pose_world)
+                                           fr_len, active_id, pose_world,
+                                           info)
             self.wait_loop = False
             return st, flag
         if cr_mo < self.cfg.min_containing_ratio_back:  # case 4
             st, flag, _ = self._apply_msg3(st, kf_id, frame_id, fr_center,
-                                           fr_len, active_id, pose_world)
+                                           fr_len, active_id, pose_world,
+                                           info)
             self.wait_loop = False
             return st, flag
         # case 5: camera re-entered a previous submap
@@ -430,12 +444,14 @@ class Manager:
         if ok:  # case 5.1: switch back
             self.ovlp_data = data
             st, flag = self._apply_msg1(st, kf_id, fr_center, fr_len,
-                                        active_id, mo_id, pose_world, True)
+                                        active_id, mo_id, pose_world, True,
+                                        info, max_len)
             self.wait_loop = False
             return st, flag
         # case 5.2: new submap + wait for the loop to mature
         st, flag, new_id = self._apply_msg3(st, kf_id, frame_id, fr_center,
-                                            fr_len, active_id, pose_world)
+                                            fr_len, active_id, pose_world,
+                                            info)
         self.wait_loop = True
         self.localMLP_Id_wait = mo_id
         self.localMLP_Id_actual = new_id

@@ -42,21 +42,6 @@ from . import state as slam_state
 from . import tracker
 
 
-@jax.jit
-def _post_track_update(est_c2w, est_c2w_rel, keyframe_ref, pose, i,
-                       kf_frame, kf_id, is_kf, switch_tracking,
-                       active_first_kf):
-    est_c2w = est_c2w.at[i].set(pose)
-    delta = pose_inverse(est_c2w[kf_frame]) @ pose
-    rel_new = jnp.where(is_kf, est_c2w_rel[i], delta)
-    est_c2w_rel = est_c2w_rel.at[i].set(rel_new)
-    ref_new = jnp.where(is_kf & ~switch_tracking,
-                        active_first_kf.astype(jnp.int32),
-                        keyframe_ref[kf_id])
-    keyframe_ref = keyframe_ref.at[kf_id].set(ref_new)
-    return est_c2w, est_c2w_rel, keyframe_ref
-
-
 class MIPSFusionTPU:
     """Online multi-implicit-submap RGB-D SLAM on TPU."""
 
@@ -171,10 +156,27 @@ class MIPSFusionTPU:
         # dispatch through the remote-TPU tunnel is the alternative)
         self._extract_poses_jit = jax.jit(self.extract_submap_kf_poses)
         self._writeback_jit = jax.jit(self.writeback_ba_poses)
+        # fused per-stage steps (built lazily; one jit per static variant)
+        self._ba_steps: Dict[bool, object] = {}
+        self._refine_step_jit = None
+        # per-stage base PRNG keys: the per-frame key is derived on
+        # device (fold_in) inside the jitted steps — no per-frame
+        # host-side splits or uploads
+        self.key, ktr, kba, krf = jax.random.split(self.key, 4)
+        self._track_key, self._ba_key, self._refine_key = ktr, kba, krf
+
+        # host mirrors of slow-changing state (updated at keyframe
+        # cadence) so the steady-state loop never blocks on device
+        # readbacks: submap count, keyframe count, keyframe bindings
+        self._host_used = 0
+        self._host_n_kf = 0
+        self._host_kf_bind = np.full((self.cap.n_keyframes, 2), -1,
+                                     np.int32)
 
         # host-side trackers
         self.track_losses: List[float] = []
         self.last_switch_frame = 0
+        self._gt_cache: Dict[int, np.ndarray] = {}
 
         out = config.get("data", {}).get("output")
         self.output_dir = None
@@ -187,21 +189,30 @@ class MIPSFusionTPU:
     # helpers
     # ------------------------------------------------------------------
 
-    def _frame_arrays(self, frame: Dict):
-        """One packed H2D transfer per frame, cached by frame id —
-        track/BA/keyframe stages all consume the same frame (slicing
-        happens on device; separate transfers multiply the tunnel
-        round-trips)."""
+    def _packed(self, frame: Dict) -> jnp.ndarray:
+        """Device-resident packed frame [H, W, 7] = (direction, rgb,
+        depth), cached by frame id — track/BA/keyframe stages all consume
+        the same array (slicing happens on device).
+
+        Datasets that render or prefetch on device expose ``packed``
+        (zero per-frame host->device traffic); otherwise the frame dict's
+        numpy arrays are packed once and uploaded in one transfer.
+        """
         fid = frame.get("frame_id")
-        if getattr(self, "_packed_fid", None) != fid or fid is None:
-            packed = np.concatenate(
+        if getattr(self, "_packed_fid", None) == fid and fid is not None:
+            return self._packed_frame
+        if hasattr(self.dataset, "packed") and fid is not None:
+            arr = self.dataset.packed(fid)
+        else:
+            arr = jnp.asarray(np.concatenate(
                 [np.asarray(frame["direction"]), np.asarray(frame["rgb"]),
-                 np.asarray(frame["depth"])[..., None]], axis=-1)
-            # the packed layout IS the keyframe-ray layout
-            # (direction, rgb, depth) — reused instead of re-concatenating
-            self._packed_frame = jnp.asarray(packed)
-            self._packed_fid = fid
-        arr = self._packed_frame
+                 np.asarray(frame["depth"])[..., None]], axis=-1))
+        self._packed_frame = arr
+        self._packed_fid = fid
+        return arr
+
+    def _frame_arrays(self, frame: Dict):
+        arr = self._packed(frame)
         return arr[..., 3:6], arr[..., 6], arr[..., :3]
 
     def _next_key(self):
@@ -311,6 +322,9 @@ class MIPSFusionTPU:
         rgb, depth, direction = self._frame_arrays(frame)
         st = self.state
         c2w_world = jnp.asarray(frame["c2w"], jnp.float32)
+        self._host_used = 1
+        self._host_n_kf = 1
+        self._host_kf_bind[0] = (0, -1)
 
         from ..ops.geometry import get_frame_surface_bbox
         center, length = get_frame_surface_bbox(
@@ -340,86 +354,87 @@ class MIPSFusionTPU:
         self.state = st
 
     def track(self, frame: Dict, i: int, switch_tracking: bool = False):
-        """Track frame i against the active submap (ref :470-576)."""
-        rgb, depth, direction = self._frame_arrays(frame)
+        """Track frame i against the active submap (ref :470-576).
+
+        ONE jitted dispatch: motion model, RO, GO, and the pose-store
+        epilogue all run on device (tracker.track_frame_update); the
+        loss stays on device so the steady loop never syncs.
+        """
+        packed = self._packed(frame)
         st = self.state
         if switch_tracking:
-            use_cs = jnp.asarray(False)
+            use_cs = False
             n_ro, n_go = self.sw_iter_ro, self.sw_iter_go
         else:
-            use_cs = jnp.asarray(
-                self.config["tracking"]["const_speed"]
-                and (i - self.last_switch_frame) >= 2)
+            use_cs = bool(self.config["tracking"]["const_speed"]
+                          and (i - self.last_switch_frame) >= 2)
             n_ro, n_go = self.rcfg.n_iters, self.gcfg.n_iters
 
-        res = tracker.track_frame(
+        upd = tracker.track_frame_update(
             self.submap_params[self.active_id], self.fcfg, self.consts,
-            self.rcfg, self.gcfg, self.pst, self._next_key(),
-            rgb, depth, direction, st.est_c2w, jnp.asarray(i), use_cs,
-            self.lw, n_ro, n_go, from_current=bool(switch_tracking))
+            self.rcfg, self.gcfg, self.pst, self._track_key, packed,
+            st.est_c2w, st.est_c2w_rel, st.keyframe_ref, i, use_cs,
+            bool(switch_tracking), st.active_first_kf, self.lw,
+            n_ro, n_go, self.keyframe_every,
+            from_current=bool(switch_tracking))
+        self.state = st._replace(est_c2w=upd.est_c2w,
+                                 est_c2w_rel=upd.est_c2w_rel,
+                                 keyframe_ref=upd.keyframe_ref)
+        self.track_losses.append(upd.loss)
 
-        # single-dispatch state update (pose store + rel-pose/kf-ref
-        # bookkeeping, ref :558-576) — eager per-op dispatches dominate
-        # frame time through the remote-TPU tunnel otherwise
-        kf_id = i // self.keyframe_every
-        kf_frame = kf_id * self.keyframe_every
-        is_kf = (i % self.keyframe_every == 0)
-        est_c2w, est_c2w_rel, keyframe_ref = _post_track_update(
-            st.est_c2w, st.est_c2w_rel, st.keyframe_ref, res.pose,
-            jnp.asarray(i), jnp.asarray(kf_frame), jnp.asarray(kf_id),
-            jnp.asarray(is_kf), jnp.asarray(bool(switch_tracking)),
-            st.active_first_kf)
-        st = st._replace(est_c2w=est_c2w, est_c2w_rel=est_c2w_rel,
-                         keyframe_ref=keyframe_ref)
-        self.state = st
-        # keep the loss on-device: a float() here would sync the host to
-        # the device every frame and serialize the pipeline (the remote
-        # tunnel's per-dispatch latency dominates otherwise)
-        self.track_losses.append(res.loss)
+    def _make_ba_step(self, optim_cur: bool):
+        """Build the fused local-BA step (mask + pose extraction + BA
+        scan + pose write-back in one jitted call)."""
+        mcfg = self.mcfg
+        if optim_cur and not mcfg.optim_cur:
+            mcfg = mapper.MapConfig(**{**mcfg.__dict__, "optim_cur": True})
+
+        def step(st, params, opt_state, cur_rays, i):
+            active = st.active_submap_id
+            kf_mask = slam_state.submap_kf_mask(st, active)
+            first_kf = st.localMLP_first_kf[active]
+            last_kf = jnp.max(
+                jnp.where(kf_mask, jnp.arange(kf_mask.shape[0]), -1))
+            poses_local = self.extract_submap_kf_poses(st, active)
+            key = jax.random.fold_in(self._ba_key, i)
+            res = mapper.local_ba(
+                params, opt_state, key, st.kf_rays, kf_mask, first_kf,
+                last_kf, poses_local, cur_rays, st.est_c2w[i],
+                self.fcfg, self.consts, mcfg, self.lw,
+                mcfg.sample + mcfg.pixels_cur)
+            opt_poses = qt_to_matrix(res.kf_quat, res.kf_trans)
+            st = self.writeback_ba_poses(st, active, kf_mask, opt_poses)
+            if optim_cur:
+                st = st._replace(est_c2w=st.est_c2w.at[i].set(
+                    qt_to_matrix(res.cur_quat, res.cur_trans)))
+            return st, res.field_params, res.map_opt_state
+
+        return jax.jit(step)
 
     def do_local_ba(self, frame: Dict, i: int):
-        """Local BA on the active submap (ref :259-370)."""
-        rgb, depth, direction = self._frame_arrays(frame)
-        st = self.state
-
-        kf_mask = slam_state.submap_kf_mask(st, st.active_submap_id)
-        first_kf = st.localMLP_first_kf[st.active_submap_id]
-        valid_ids = jnp.where(kf_mask, jnp.arange(kf_mask.shape[0]), -1)
-        last_kf = jnp.max(valid_ids)
-
-        poses_local = self._extract_poses_jit(st, st.active_submap_id)
-
-        frame_rays = self._packed_frame
-        mcfg = self.mcfg
-        if self.optim_cur and not mcfg.optim_cur:
-            mcfg = mapper.MapConfig(**{
-                **mcfg.__dict__, "optim_cur": True})
-        res = mapper.local_ba(
-            self.submap_params[self.active_id], self.map_opt_state,
-            self._next_key(), st.kf_rays, kf_mask, first_kf, last_kf,
-            poses_local, frame_rays.reshape(-1, 7), st.est_c2w[i],
-            self.fcfg, self.consts, mcfg, self.lw,
-            mcfg.sample + mcfg.pixels_cur)
-
-        self.submap_params[self.active_id] = res.field_params
-        self.map_opt_state = res.map_opt_state
-
-        opt_poses = qt_to_matrix(res.kf_quat, res.kf_trans)  # [K,4,4]
-        st = self._writeback_jit(st, int(st.active_submap_id),
-                                 kf_mask, opt_poses)
-        if self.optim_cur:
-            st = st._replace(est_c2w=st.est_c2w.at[i].set(
-                qt_to_matrix(res.cur_quat, res.cur_trans)))
+        """Local BA on the active submap (ref :259-370). ONE dispatch."""
+        cur_rays = self._packed(frame).reshape(-1, 7)
+        optim_cur = bool(self.optim_cur or self.mcfg.optim_cur)
+        step = self._ba_steps.get(optim_cur)
+        if step is None:
+            step = self._ba_steps.setdefault(
+                optim_cur, self._make_ba_step(optim_cur))
+        st, params, opt_state = step(
+            self.state, self.submap_params[self.active_id],
+            self.map_opt_state, cur_rays, i)
         self.state = st
+        self.submap_params[self.active_id] = params
+        self.map_opt_state = opt_state
 
     def add_keyframe(self, frame: Dict, i: int):
-        rgb, depth, direction = self._frame_arrays(frame)
-        st = slam_state.add_keyframe(self.state, self._packed_frame, i,
+        st = slam_state.add_keyframe(self.state, self._packed(frame), i,
                                      self.kf_rows, self.kf_cols)
+        kf_id = i // self.keyframe_every
         if not self.use_manager:
-            kf_id = i // self.keyframe_every
             st = st._replace(keyframe_localMLP=st.keyframe_localMLP.at[
                 kf_id, 0].set(st.active_submap_id.astype(jnp.int32)))
+            self._host_kf_bind[kf_id] = (self.active_id, -1)
+        self._host_n_kf = max(self._host_n_kf, kf_id + 1)
         self.state = st
 
     # ------------------------------------------------------------------
@@ -438,6 +453,7 @@ class MIPSFusionTPU:
         self.submap_params[new_id] = self.initial_params
         self.map_opt_state = self.map_opt.init(self.initial_params)
         self.active_id = new_id
+        self._host_used = max(self._host_used, new_id + 1)
         self.last_switch_frame = i
         st = st._replace(active_first_kf=jnp.asarray(kf_id, jnp.int32),
                          last_switch_frame=jnp.asarray(i, jnp.int32))
@@ -666,43 +682,59 @@ class MIPSFusionTPU:
     # :203-307) + global BA (PGO)
     # ------------------------------------------------------------------
 
-    def inactive_refine_step(self):
-        """One BA round on the next inactive submap (round-robin)."""
-        st = self.state
-        used = int(np.asarray(st.localMLP_info[:, 0]).sum())
-        inactive = [m for m in range(used)
+    def _make_refine_step(self):
+        def step(st, params, kf_mask, m, i):
+            first_kf = st.localMLP_first_kf[m]
+            last_kf = jnp.max(
+                jnp.where(kf_mask, jnp.arange(kf_mask.shape[0]), -1))
+            poses_local = self.extract_submap_kf_poses(st, m)
+            # fresh optimizer per round (the reference creates one per
+            # call, ref InactiveMap.py:213)
+            opt_state = self.map_opt.init(params)
+            key = jax.random.fold_in(self._refine_key, i)
+            dummy_cur = jnp.zeros((8, 7))
+            res = mapper.local_ba(
+                params, opt_state, key, st.kf_rays, kf_mask, first_kf,
+                last_kf, poses_local, dummy_cur, jnp.eye(4), self.fcfg,
+                self.consts, self.mcfg, self.lw, self.mcfg.sample,
+                include_current=False)
+            opt_poses = qt_to_matrix(res.kf_quat, res.kf_trans)
+            st = self.writeback_ba_poses(st, m, kf_mask, opt_poses)
+            return st, res.field_params
+
+        return jax.jit(step)
+
+    def inactive_refine_step(self, i: int = 0):
+        """One BA round on the next inactive submap (round-robin).
+
+        Submap membership and the ownership rule (skip keyframes
+        first-bound to the active submap — the functional re-expression
+        of keyframe_mutex_mask / overlap_kf_flag) are evaluated on HOST
+        MIRRORS refreshed at keyframe cadence, so this never blocks on a
+        device readback; the BA round itself is one jitted dispatch.
+        """
+        if not self.inactive_started:
+            return
+        inactive = [m for m in range(self._host_used)
                     if m != self.active_id and self.submap_params[m]
                     is not None]
-        if not inactive or not self.inactive_started:
+        if not inactive:
             return
         m = inactive[self._inactive_rr % len(inactive)]
         self._inactive_rr += 1
 
-        kf_mask = slam_state.submap_kf_mask(st, m)
-        # ownership rule: skip keyframes first-bound to the active submap
-        # (they are being optimized by active BA) — the functional
-        # re-expression of keyframe_mutex_mask / overlap_kf_flag
-        kf_mask = kf_mask & ~(st.keyframe_localMLP[:, 0]
-                              == st.active_submap_id)
-        if int(jnp.sum(kf_mask)) == 0:
+        bind = self._host_kf_bind
+        valid = np.arange(bind.shape[0]) < self._host_n_kf
+        mask_np = (valid & ((bind[:, 0] == m) | (bind[:, 1] == m))
+                   & (bind[:, 0] != self.active_id))
+        if not mask_np.any():
             return
-        first_kf = st.localMLP_first_kf[m]
-        valid_ids = jnp.where(kf_mask, jnp.arange(kf_mask.shape[0]), -1)
-        last_kf = jnp.max(valid_ids)
-        poses_local = self.extract_submap_kf_poses(st, m)
-
-        # fresh optimizer per round (the reference creates one per call,
-        # ref InactiveMap.py:213)
-        opt_state = self.map_opt.init(self.submap_params[m])
-        dummy_cur = jnp.zeros((8, 7))
-        res = mapper.local_ba(
-            self.submap_params[m], opt_state, self._next_key(),
-            st.kf_rays, kf_mask, first_kf, last_kf, poses_local,
-            dummy_cur, jnp.eye(4), self.fcfg, self.consts, self.mcfg,
-            self.lw, self.mcfg.sample, include_current=False)
-        self.submap_params[m] = res.field_params
-        opt_poses = qt_to_matrix(res.kf_quat, res.kf_trans)
-        self.state = self.writeback_ba_poses(st, m, kf_mask, opt_poses)
+        if self._refine_step_jit is None:
+            self._refine_step_jit = self._make_refine_step()
+        st, params = self._refine_step_jit(
+            self.state, self.submap_params[m], jnp.asarray(mask_np), m, i)
+        self.state = st
+        self.submap_params[m] = params
 
     def global_ba(self):
         """Pose-graph optimization over submap anchors after a loop
@@ -766,10 +798,21 @@ class MIPSFusionTPU:
         anchors = kf_c2w[first_kf[np.clip(kf_submap[kf_ids], 0, None)]]
         return anchors @ poses_local
 
+    def _gt_pose(self, i: int) -> np.ndarray:
+        """GT pose with caching (the O(n^2) per-eval dataset[i] IO of
+        round 1 is gone: poses are read once and memoized)."""
+        p = self._gt_cache.get(i)
+        if p is None:
+            if hasattr(self.dataset, "gt_pose"):
+                p = np.asarray(self.dataset.gt_pose(i))
+            else:
+                p = np.asarray(self.dataset[i]["c2w"])
+            self._gt_cache[i] = p
+        return p
+
     def evaluate(self, up_to: int, tag: str = "final") -> Dict:
         world = self.world_trajectory(up_to)
-        gt = np.stack([np.asarray(self.dataset[i]["c2w"])
-                       for i in range(up_to + 1)])
+        gt = np.stack([self._gt_pose(i) for i in range(up_to + 1)])
         return pose_evaluation(gt, world, self.output_dir, tag)
 
     # ------------------------------------------------------------------
@@ -855,7 +898,7 @@ class MIPSFusionTPU:
         self.track(frame, i)
         if i % self.map_every == 0:
             self.do_local_ba(frame, i)
-            self.inactive_refine_step()
+            self.inactive_refine_step(i)
 
         if i % self.keyframe_every == 0:
             kf_id = i // self.keyframe_every
@@ -873,6 +916,9 @@ class MIPSFusionTPU:
                     self.active_submap_switch(frame, i, kf_id)
                     self.local_ba_switch(frame, kf_id, i)
                     self.global_ba()
+                # refresh the host binding mirror (manager mutators are
+                # the only other writers of keyframe_localMLP)
+                self._host_kf_bind = np.asarray(self.state.keyframe_localMLP)
 
         if self.do_global_ba:
             self.global_ba()
@@ -892,9 +938,18 @@ class MIPSFusionTPU:
         import threading
         q: "queue.Queue" = queue.Queue(maxsize=4)
 
+        device_frames = (hasattr(self.dataset, "packed")
+                         and hasattr(self.dataset, "gt_pose"))
+
         def _producer():
             for j in range(start, n):
-                q.put(self.dataset[j])
+                if device_frames:
+                    # render/upload ahead on device; the consumer only
+                    # needs the pose on host
+                    self.dataset.packed(j)
+                    q.put({"frame_id": j, "c2w": self.dataset.gt_pose(j)})
+                else:
+                    q.put(self.dataset[j])
 
         threading.Thread(target=_producer, daemon=True).start()
 

@@ -235,30 +235,95 @@ def go_optimize(field_params: Dict, fcfg: sr.FieldConfig,
 
 
 def sample_pixels_mix(key: jax.Array, H: int, W: int, n_rows: int,
-                      n_cols: int, depth_img: jnp.ndarray, n_total: int):
+                      n_cols: int, depth_img: jnp.ndarray, n_total: int,
+                      edge_h: int = 0, edge_w: int = 0):
     """Uniform-grid + valid-random pixel mix (ref sampling_helper.py:20-68).
 
     The uniform grid contributes n_rows*n_cols pixels; the remainder is
-    drawn randomly, weighted toward valid-depth pixels.
+    drawn randomly, weighted toward valid-depth pixels. ``edge_h/w``
+    exclude an image border from both parts (the reference crops
+    ignore_edge_H/W before sampling tracking pixels,
+    ref mipsfusion.py:504-522).
     """
-    rows = jnp.linspace(0, H - 1, n_rows).astype(jnp.int32)
-    cols = jnp.linspace(0, W - 1, n_cols).astype(jnp.int32)
+    # clamp so tiny test images are not eaten entirely by the margin
+    edge_h = min(edge_h, max((H - 8) // 2, 0))
+    edge_w = min(edge_w, max((W - 8) // 2, 0))
+    Hi, Wi = H - 2 * edge_h, W - 2 * edge_w
+    rows = edge_h + jnp.linspace(0, Hi - 1, n_rows).astype(jnp.int32)
+    cols = edge_w + jnp.linspace(0, Wi - 1, n_cols).astype(jnp.int32)
     rr, cc = jnp.meshgrid(rows, cols, indexing="ij")
     rr, cc = rr.reshape(-1), cc.reshape(-1)
     n_rand = n_total - rr.shape[0]
     if n_rand <= 0:
         return rr[:n_total], cc[:n_total]
     # valid-biased random sampling: add noise to validity, take top-k
-    valid = (depth_img > 0.0).astype(jnp.float32).reshape(-1)
+    interior = depth_img[edge_h:H - edge_h, edge_w:W - edge_w]
+    valid = (interior > 0.0).astype(jnp.float32).reshape(-1)
     score = valid + jax.random.uniform(key, valid.shape)
     _, idx = jax.lax.top_k(score, n_rand)
-    return (jnp.concatenate([rr, (idx // W).astype(jnp.int32)]),
-            jnp.concatenate([cc, (idx % W).astype(jnp.int32)]))
+    return (jnp.concatenate([rr, edge_h + (idx // Wi).astype(jnp.int32)]),
+            jnp.concatenate([cc, edge_w + (idx % Wi).astype(jnp.int32)]))
 
 
 class TrackResult(NamedTuple):
     pose: jnp.ndarray
     loss: jnp.ndarray
+
+
+class TrackUpdate(NamedTuple):
+    est_c2w: jnp.ndarray
+    est_c2w_rel: jnp.ndarray
+    keyframe_ref: jnp.ndarray
+    pose: jnp.ndarray
+    loss: jnp.ndarray
+
+
+@partial(jax.jit, static_argnames=("fcfg", "rcfg", "gcfg", "n_iter_ro",
+                                   "n_iter_go", "from_current",
+                                   "keyframe_every"))
+def track_frame_update(field_params: Dict, fcfg: sr.FieldConfig,
+                       consts: sr.FieldConsts, rcfg: ROConfig,
+                       gcfg: GOConfig, pst: jnp.ndarray, base_key: jax.Array,
+                       packed_frame: jnp.ndarray, est_c2w: jnp.ndarray,
+                       est_c2w_rel: jnp.ndarray, keyframe_ref: jnp.ndarray,
+                       frame_idx, use_const_speed, switch_tracking,
+                       active_first_kf, lw: sr.LossWeights, n_iter_ro: int,
+                       n_iter_go: int, keyframe_every: int,
+                       from_current: bool = False) -> TrackUpdate:
+    """Track frame ``frame_idx`` AND commit the pose-store bookkeeping
+    (ref mipsfusion.py:470-576 including the :558-576 epilogue) in one
+    jitted dispatch.
+
+    ``packed_frame`` is the device-resident [H, W, 7] =
+    (direction, rgb, depth) frame; the per-frame PRNG key is derived on
+    device by fold_in so the steady-state loop issues no host->device
+    transfers beyond the handful of scalar arguments.
+    """
+    frame_idx = jnp.asarray(frame_idx, jnp.int32)
+    key = jax.random.fold_in(base_key, frame_idx)
+    res = track_frame(field_params, fcfg, consts, rcfg, gcfg, pst, key,
+                      packed_frame[..., 3:6], packed_frame[..., 6],
+                      packed_frame[..., :3], est_c2w, frame_idx,
+                      use_const_speed, lw, n_iter_ro, n_iter_go,
+                      from_current=from_current)
+
+    # pose-store epilogue (ref mipsfusion.py:558-576)
+    kf_id = frame_idx // keyframe_every
+    kf_frame = kf_id * keyframe_every
+    is_kf = frame_idx % keyframe_every == 0
+    from ..ops.geometry import pose_inverse
+    est_c2w = est_c2w.at[frame_idx].set(res.pose)
+    delta = _mm(pose_inverse(est_c2w[kf_frame]), res.pose)
+    rel_new = jnp.where(is_kf, est_c2w_rel[frame_idx], delta)
+    est_c2w_rel = est_c2w_rel.at[frame_idx].set(rel_new)
+    switch_tracking = jnp.asarray(switch_tracking, bool)
+    ref_new = jnp.where(is_kf & ~switch_tracking,
+                        jnp.asarray(active_first_kf, jnp.int32),
+                        keyframe_ref[kf_id])
+    keyframe_ref = keyframe_ref.at[kf_id].set(ref_new)
+    return TrackUpdate(est_c2w=est_c2w, est_c2w_rel=est_c2w_rel,
+                       keyframe_ref=keyframe_ref, pose=res.pose,
+                       loss=res.loss)
 
 
 @partial(jax.jit, static_argnames=("fcfg", "rcfg", "gcfg", "n_iter_ro",
@@ -302,7 +367,9 @@ def track_frame(field_params: Dict, fcfg: sr.FieldConfig,
 
     # pixel selection for GO (fixed across iterations, ref :504-522)
     rr, cc = sample_pixels_mix(k_px, H, W, rcfg.n_rows, rcfg.n_cols,
-                               depth_img, gcfg.n_rays)
+                               depth_img, gcfg.n_rays,
+                               edge_h=gcfg.ignore_edge_h,
+                               edge_w=gcfg.ignore_edge_w)
     rays_d_cam = rays_dir_img[rr, cc]
     target_rgb = rgb_img[rr, cc]
     target_d = depth_img[rr, cc][:, None]
