@@ -204,6 +204,106 @@ class Mesher:
         return verts_w, faces, colors
 
 
+def point_seen_mask(verts_w: np.ndarray, kf_poses_w: np.ndarray,
+                    K: np.ndarray, H: int, W: int,
+                    kf_max_depths: np.ndarray,
+                    edge: Optional[int] = None) -> np.ndarray:
+    """Bool [V]: vertex visible from at least one keyframe.
+
+    Reference point_mask (/root/reference/model/Mesher.py:245-281):
+    project into each keyframe (OpenGL, z < 0 in front), require the
+    pixel inside an ``edge`` margin and |z| within (0, that keyframe's
+    max depth). The reference's fixed 20 px margin assumes 1200x680
+    images; kept proportional (~3% of the short side) so small frames
+    are not dominated by the margin.
+    """
+    if edge is None:
+        edge = max(2, min(20, int(round(0.03 * min(H, W)))))
+    seen = np.zeros(verts_w.shape[0], bool)
+    for c2w, max_d in zip(kf_poses_w, kf_max_depths):
+        w2c = np.linalg.inv(c2w)
+        pc = verts_w @ w2c[:3, :3].T + w2c[:3, 3]          # [V, 3]
+        z = pc[:, 2]
+        # same x-flip projection as ops.geometry.project_to_pixel
+        # (ref geometry_helper.py:216-222)
+        uvw = (pc * np.asarray([-1.0, 1.0, 1.0])) @ K.T
+        zz = uvw[:, 2] + 1e-5
+        u, v = uvw[:, 0] / zz, uvw[:, 1] / zz
+        m = ((u > edge) & (u < W - edge) & (v > edge) & (v < H - edge)
+             & (z < 0) & (np.abs(z) > 0) & (np.abs(z) < max_d))
+        seen |= m
+        if seen.all():
+            break
+    return seen
+
+
+def filter_unseen_faces(faces: np.ndarray,
+                        seen_mask: np.ndarray) -> np.ndarray:
+    """Drop faces whose vertices are ALL unseen (the reference's loose
+    rule, ref get_face_mask Mesher.py:223-231)."""
+    unseen = ~seen_mask
+    face_unseen = unseen[faces].all(axis=1)
+    return faces[~face_unseen]
+
+
+def remove_small_components(verts: np.ndarray, faces: np.ndarray,
+                            colors: Optional[np.ndarray] = None,
+                            min_area: float = 0.5):
+    """Drop connected components with total triangle area <= min_area
+    (ref Mesher.py:360-366, remove_small_geometry_threshold = 0.5 m^2)."""
+    if len(faces) == 0:
+        return verts, faces, colors
+    from scipy.sparse import coo_matrix
+    from scipy.sparse.csgraph import connected_components
+
+    V = len(verts)
+    e0 = np.concatenate([faces[:, 0], faces[:, 1], faces[:, 2]])
+    e1 = np.concatenate([faces[:, 1], faces[:, 2], faces[:, 0]])
+    adj = coo_matrix((np.ones(len(e0)), (e0, e1)), shape=(V, V))
+    _, labels = connected_components(adj, directed=False)
+
+    a = verts[faces[:, 1]] - verts[faces[:, 0]]
+    b = verts[faces[:, 2]] - verts[faces[:, 0]]
+    tri_area = 0.5 * np.linalg.norm(np.cross(a, b), axis=1)
+    face_label = labels[faces[:, 0]]
+    comp_area = np.bincount(face_label, weights=tri_area,
+                            minlength=labels.max() + 1)
+    keep_face = comp_area[face_label] > min_area
+    faces = faces[keep_face]
+
+    used = np.zeros(V, bool)
+    used[faces.reshape(-1)] = True
+    remap = np.cumsum(used) - 1
+    verts2 = verts[used]
+    colors2 = colors[used] if colors is not None and len(colors) == V \
+        else colors
+    return verts2, remap[faces], colors2
+
+
+def apply_visibility_filters(verts: np.ndarray, faces: np.ndarray,
+                             colors: Optional[np.ndarray],
+                             kf_poses_w: np.ndarray, K: np.ndarray,
+                             H: int, W: int, kf_max_depths: np.ndarray,
+                             min_component_area: float = 0.5):
+    """Reference post-extraction cleanup (ref Mesher.py:360-378):
+    small-component removal, then unseen-face culling against the
+    keyframe set. Returns the filtered (verts, faces, colors)."""
+    if len(verts) == 0 or len(kf_poses_w) == 0:
+        return verts, faces, colors
+    verts, faces, colors = remove_small_components(
+        verts, faces, colors, min_component_area)
+    if len(verts) == 0:
+        return verts, faces, colors
+    seen = point_seen_mask(verts, kf_poses_w, K, H, W, kf_max_depths)
+    faces = filter_unseen_faces(faces, seen)
+    used = np.zeros(len(verts), bool)
+    used[faces.reshape(-1)] = True
+    remap = np.cumsum(used) - 1
+    colors = colors[used] if colors is not None \
+        and len(colors) == len(verts) else colors
+    return verts[used], remap[faces], colors
+
+
 def save_mesh_ply(path: str, verts: np.ndarray, faces: np.ndarray,
                   colors: Optional[np.ndarray] = None) -> None:
     """Minimal binary-less PLY writer (no trimesh dependency)."""

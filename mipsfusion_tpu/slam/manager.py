@@ -194,6 +194,9 @@ class Manager:
         self.localMLP_Id_actual = -1
         # overlap-region buffers filled on a successful switch trigger
         self.ovlp_data: Optional[Dict] = None
+        # host mirror of the binding each msg wrote (kf_id, (first, second))
+        # so the system can track keyframe_localMLP without a readback
+        self.last_binding: Optional[Tuple[int, Tuple[int, int]]] = None
         # hook installed by the system for overlap verification (phase:
         # loop closure); returns (ok, data) given candidate submaps
         self.find_overlap_fn = None
@@ -280,6 +283,7 @@ class Manager:
             c2, l2 = info[id2, 1:4], info[id2, 4:7]
 
         bind = (id2, id1) if switch else (id1, id2)
+        self.last_binding = (kf_id, (int(bind[0]), int(bind[1])))
         st = st._replace(
             localMLP_info=st.localMLP_info
             .at[id1, 1:4].set(jnp.asarray(c1)).at[id1, 4:7].set(jnp.asarray(l1))
@@ -315,6 +319,7 @@ class Manager:
             keyframe_localMLP=st.keyframe_localMLP.at[kf_id, 0].set(
                 submap_id),
         )
+        self.last_binding = (kf_id, (int(submap_id), -1))
         return st, 2
 
     def _apply_msg3(self, st: SlamState, kf_id: int, frame_id: int,
@@ -323,6 +328,7 @@ class Manager:
         if info is None:
             info = np.asarray(st.localMLP_info)
         new_id = int(info[:, 0].sum())  # first unused slot
+        self.last_binding = (kf_id, (new_id, int(active_id)))
         st = st._replace(
             localMLP_info=st.localMLP_info.at[new_id].set(
                 jnp.concatenate([jnp.ones(1), jnp.asarray(kf_center),

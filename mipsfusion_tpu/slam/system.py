@@ -880,6 +880,25 @@ class MIPSFusionTPU:
             verts, faces, colors = mesher.extract_single_mesh(
                 params[0], anchors[0], info[0, 1:4], info[0, 4:7],
                 trunc=sdf_trunc_units, bound_world=bound)
+
+        # reference post-extraction cleanup (ref Mesher.py:360-378):
+        # small-component removal + keyframe-visibility face culling
+        from ..mesher.mesher import apply_visibility_filters
+        n_kf = int(st.n_kf)
+        if len(verts) and n_kf:
+            kf_ids = np.arange(n_kf)
+            kf_world = np.asarray(self._kf_world_poses(st, kf_ids))
+            kf_max_d = np.asarray(
+                jnp.max(st.kf_rays[:n_kf, :, 6], axis=1))
+            K_mat = np.asarray(
+                [[self.dataset.fx, 0.0, self.dataset.cx],
+                 [0.0, self.dataset.fy, self.dataset.cy],
+                 [0.0, 0.0, 1.0]])
+            min_area = self.config.get("mesh", {}).get(
+                "remove_small_geometry_threshold", 0.5)
+            verts, faces, colors = apply_visibility_filters(
+                verts, faces, colors, kf_world, K_mat, self.H, self.W,
+                kf_max_d, min_component_area=min_area)
         if path:
             save_mesh_ply(path, verts, faces, colors)
         return verts, faces, colors
@@ -916,9 +935,12 @@ class MIPSFusionTPU:
                     self.active_submap_switch(frame, i, kf_id)
                     self.local_ba_switch(frame, kf_id, i)
                     self.global_ba()
-                # refresh the host binding mirror (manager mutators are
-                # the only other writers of keyframe_localMLP)
-                self._host_kf_bind = np.asarray(self.state.keyframe_localMLP)
+                # refresh the host binding mirror from the manager's own
+                # host-side record (saves a device readback per keyframe)
+                if self.manager.last_binding is not None:
+                    bkf, bpair = self.manager.last_binding
+                    self._host_kf_bind[bkf] = bpair
+                    self.manager.last_binding = None
 
         if self.do_global_ba:
             self.global_ba()

@@ -98,10 +98,18 @@ def ro_optimize(field_params: Dict, fcfg: sr.FieldConfig,
     """
 
     def fitness(rot, trans, pts_cam, valid):
-        # [P,3,3] @ [n,3] -> [P,n,3] world (local-frame) points
-        world = jnp.einsum("pij,nj->pni", rot, pts_cam, precision=jax.lax.Precision.HIGHEST)
-        world = world + trans[:, None, :]
-        sdf = sr.run_network(field_params, world, fcfg, consts)[..., 3] * fcfg.trunc
+        # world points built directly in the kernel's points-minor
+        # [3, P*n] layout (per-axis [P,3]@[3,n] dots + a leading-axis
+        # stack) — the einsum->[P,n,3]->transpose route costs more in
+        # relayouts than the fused SDF query itself
+        P = rot.shape[0]
+        ptsT = pts_cam.T                                          # [3,n]
+        rows = [jnp.matmul(rot[:, i, :], ptsT,
+                           precision=jax.lax.Precision.HIGHEST)
+                + trans[:, i:i + 1] for i in range(3)]
+        worldT = jnp.stack(rows, 0).reshape(3, -1)                # [3,P*n]
+        sdf = sr.run_network_sdf_T(field_params, worldT, fcfg, consts)
+        sdf = sdf.reshape(P, -1) * fcfg.trunc
         mean_sdf = jnp.mean(valid[None, :] * jnp.abs(sdf), axis=-1)  # [P]
         return mean_sdf * rcfg.sdf_weight, mean_sdf
 
