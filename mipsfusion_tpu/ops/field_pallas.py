@@ -36,6 +36,11 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# Interpret mode runs the kernels op-by-op on any backend (used by the
+# CPU equivalence tests; set MIPS_PALLAS_INTERPRET=1)
+import os as _os
+_INTERPRET = bool(_os.environ.get("MIPS_PALLAS_INTERPRET"))
+
 from .triplane_pallas import (BLOCK_N, _coords, _flat_planes, _onehotT,
                               _onehotT_diff, _pad_n, _plane_uv, _s, _sT)
 
@@ -301,6 +306,7 @@ def field_query_pallas(params: Dict, x: jnp.ndarray,
         in_specs=in_specs,
         out_specs=tuple(out_specs) if return_embed else out_specs[0],
         out_shape=tuple(out_shapes) if return_embed else out_shapes[0],
+        interpret=_INTERPRET,
     )(*args)
     outT = outs[0] if return_embed else outs
     if return_transposed:
@@ -529,6 +535,7 @@ def _decoder_bwd_call(params: Dict, xpadT: jnp.ndarray, gT: jnp.ndarray,
         in_specs=in_specs,
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shapes),
+        interpret=_INTERPRET,
     )(*args)
     dxpe, dembed = outs[0][:3], outs[1]
     dW0, dW1, dWs0, dWs1, dWr = outs[2:7]

@@ -38,6 +38,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# Interpret mode runs the kernels op-by-op on any backend (used by the
+# CPU equivalence tests; set MIPS_PALLAS_INTERPRET=1)
+import os as _os
+_INTERPRET = bool(_os.environ.get("MIPS_PALLAS_INTERPRET"))
+
 BLOCK_N = 1024      # points per kernel instance (fwd / plane-bwd)
 BLOCK_N_UV = 512    # x-backward holds more live intermediates
 
@@ -159,6 +164,7 @@ def _fused_forward(xT, planes_flat, resolutions, F, cp_lines=None):
         out_specs=pl.BlockSpec((out_dim, BLOCK_N), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((out_dim, N), jnp.float32),
+        interpret=_INTERPRET,
     )(*args)
 
 
@@ -270,6 +276,7 @@ def _fused_backward_plane(xT, gT, resolutions, F, cp_lines=None):
         in_specs=in_specs,
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shapes),
+        interpret=_INTERPRET,
     )(*args)
 
 
@@ -386,6 +393,7 @@ def _fused_backward_x(xT, gT, planes_flat, resolutions, F, cp_lines=None):
         out_specs=pl.BlockSpec((3, BLOCK_N_UV), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((3, N), jnp.float32),
+        interpret=_INTERPRET,
     )(*args)
 
 

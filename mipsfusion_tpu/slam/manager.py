@@ -213,21 +213,6 @@ class Manager:
         return float(containing_ratio(depth, rays_d, pose_world, c, ln,
                                       min_len, self.cr_rows, self.cr_cols))
 
-    def _nearest_exclude(self, st: SlamState, active_id: int,
-                         frustum_center: np.ndarray, k: int = 3) -> np.ndarray:
-        """Top-k used submaps nearest by center, excluding the active one
-        (ref find_nearest_localMLP_topK_exclude :135-149)."""
-        info = np.asarray(st.localMLP_info)
-        used = int(info[:, 0].sum())
-        if used - 1 <= 0:
-            return np.arange(used)
-        ids = np.arange(used)
-        if used - 1 <= k:
-            return ids[ids != active_id]
-        dists = np.linalg.norm(info[:used, 1:4] - frustum_center, axis=-1)
-        dists[active_id] = 1e5
-        return np.argsort(dists)[:k]
-
     def _double_binding(self, active_id: int, mo_id: int, cr_mo: float,
                         overlap_args) -> bool:
         """Double-binding counter (ref process_double_binding :63-85)."""
@@ -392,6 +377,13 @@ class Manager:
         info, max_len = pred["localMLP_info"], pred["localMLP_max_len"]
 
         used = int(info[:, 0].sum())
+        import os as _os
+        if _os.environ.get("MIPS_DEBUG_MANAGER"):
+            print(f"[mgr kf={kf_id} f={frame_id}] active={active_id} "
+                  f"used={used} cr_act={float(pred['cr_active']):.3f} "
+                  f"cr_new={float(pred['cr_active_new']):.3f} "
+                  f"mo={int(pred['mo_id'])} cr_mo={float(pred['cr_mo']):.3f} "
+                  f"force={force}", flush=True)
         mo_id = int(pred["mo_id"]) if used > 1 else active_id
         cr_mo = float(pred["cr_mo"])
         same = (mo_id == active_id)

@@ -59,7 +59,6 @@ class SlamState(NamedTuple):
     localMLP_adjacent: jnp.ndarray  # [M, M] float 0/1
     keyframe_localMLP: jnp.ndarray  # [K, 2] int32
     localMLP_first_kf: jnp.ndarray  # [M] int32, -1 = unset
-    keyframe_mutex_mask: jnp.ndarray  # [K] int32 (ownership of overlap kfs)
 
     # active registers (ref mipsfusion.py:83-89)
     active_submap_id: jnp.ndarray       # scalar int32
@@ -87,7 +86,6 @@ def init_state(cap: StateCapacity, localMLP_max_len) -> SlamState:
         localMLP_adjacent=jnp.zeros((M, M), jnp.float32),
         keyframe_localMLP=jnp.full((K, 2), -1, jnp.int32),
         localMLP_first_kf=jnp.full((M,), -1, jnp.int32),
-        keyframe_mutex_mask=jnp.zeros((K,), jnp.int32),
         active_submap_id=jnp.zeros((), jnp.int32),
         prev_active_submap_id=jnp.full((), -1, jnp.int32),
         active_first_kf=jnp.zeros((), jnp.int32),

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import os
 import time
+from functools import partial
 from typing import Dict, List, Optional, Tuple
 
 import jax
@@ -34,7 +35,7 @@ import numpy as np
 
 from ..eval.ate import pose_evaluation, save_traj_tum
 from ..models import scene_rep as sr
-from ..ops.geometry import pose_inverse, project_to_pixel, qt_to_matrix
+from ..ops.geometry import _mm, pose_inverse, project_to_pixel, qt_to_matrix
 from . import icp as icp_mod
 from . import manager as manager_mod
 from . import mapper, pose_graph
@@ -141,9 +142,22 @@ class MIPSFusionTPU:
         self.icp_dst_n = 4096
         self.optim_cur = self.mcfg.optim_cur
 
-        # background refinement (InactiveMap round-robin)
+        # background refinement (InactiveMap round-robin). On a
+        # multi-chip mesh the round-robin becomes ONE sharded step:
+        # every inactive submap refines concurrently, its params placed
+        # on its own chip group (parallel/sharding.py submap axis) —
+        # the InactiveMap-on-other-chips design from ARCHITECTURE.md.
         self.inactive_started = False
         self._inactive_rr = 0
+        self.n_devices = len(jax.devices())
+        self.use_sharded_refine = (
+            self.n_devices > 1
+            and config.get("parallel", {}).get("sharded_refine", True))
+        self._sharded_refine_cache: Dict[int, object] = {}
+        self._mesh = None
+        if self.use_sharded_refine:
+            from ..parallel import sharding as sh
+            self._mesh = sh.make_mesh(self.n_devices)
 
         # loop-closure transient state
         self.debug_loop = bool(config.get("debug_loop", False))
@@ -704,6 +718,78 @@ class MIPSFusionTPU:
 
         return jax.jit(step)
 
+    def _make_sharded_refine_step(self, mi: int):
+        """Jitted sharded refinement of ``mi`` stacked inactive submaps:
+        params sharded one-per-chip-group over the mesh's data axis,
+        state replicated; each submap runs a full local-BA round
+        (include_current=False) concurrently — the round-robin of
+        inactive_refine_step collapses into one step with zero
+        cross-chip traffic. Pose write-back is restricted to keyframes
+        FIRST-bound to each submap, so concurrent submaps never write
+        the same keyframe slot (the ownership rule, conflict-free by
+        masking instead of by serialization).
+        """
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        mesh = self._mesh
+        rep = NamedSharding(mesh, P())
+        ssh = NamedSharding(mesh, P("data"))
+        K = self.cap.n_keyframes
+
+        def one(st, params, m, key):
+            kf_mask = slam_state.submap_kf_mask(st, m)
+            kf_mask = kf_mask & (st.keyframe_localMLP[:, 0]
+                                 != st.active_submap_id)
+            first_kf = st.localMLP_first_kf[m]
+            last_kf = jnp.max(jnp.where(kf_mask, jnp.arange(K), -1))
+            poses_local = self.extract_submap_kf_poses(st, m)
+            opt_state = self.map_opt.init(params)
+            res = mapper.local_ba(
+                params, opt_state, key, st.kf_rays, kf_mask, first_kf,
+                last_kf, poses_local, jnp.zeros((8, 7)), jnp.eye(4),
+                self.fcfg, self.consts, self.mcfg, self.lw,
+                self.mcfg.sample, include_current=False)
+            opt_poses = qt_to_matrix(res.kf_quat, res.kf_trans)
+            # first-bound-only write-back mask (conflict-free)
+            wb_mask = kf_mask & (st.keyframe_localMLP[:, 0] == m)
+            return res.field_params, opt_poses, wb_mask
+
+        @partial(jax.jit,
+                 in_shardings=(rep, ssh, ssh, ssh),
+                 out_shardings=(rep, ssh))
+        def step(st, stacked_params, ms, keys):
+            fields, opt_poses, masks = jax.vmap(
+                lambda p, m, k: one(st, p, m, k))(stacked_params, ms, keys)
+
+            def wb(i, stt):
+                return self.writeback_ba_poses(stt, ms[i], masks[i],
+                                               opt_poses[i])
+
+            st2 = jax.lax.fori_loop(0, mi, wb, st)
+            return st2, fields
+
+        return step
+
+    def _inactive_refine_sharded(self, inactive, i: int):
+        """All-inactive-submaps refinement in one sharded dispatch."""
+        nd = self.n_devices
+        mi = ((len(inactive) + nd - 1) // nd) * nd   # pad to mesh size
+        ms = (inactive * mi)[:mi]                    # cycle-pad ids
+        step = self._sharded_refine_cache.get(mi)
+        if step is None:
+            step = self._sharded_refine_cache.setdefault(
+                mi, self._make_sharded_refine_step(mi))
+        stacked = jax.tree.map(
+            lambda *xs: jnp.stack(xs),
+            *[self.submap_params[m] for m in ms])
+        keys = jax.random.split(jax.random.fold_in(self._refine_key, i),
+                                mi)
+        st, fields = step(self.state, stacked,
+                          jnp.asarray(ms, jnp.int32), keys)
+        self.state = st
+        for slot, m in enumerate(ms[:len(inactive)]):
+            self.submap_params[m] = jax.tree.map(
+                lambda x: x[slot], fields)
+
     def inactive_refine_step(self, i: int = 0):
         """One BA round on the next inactive submap (round-robin).
 
@@ -719,6 +805,9 @@ class MIPSFusionTPU:
                     if m != self.active_id and self.submap_params[m]
                     is not None]
         if not inactive:
+            return
+        if self.use_sharded_refine and len(inactive) > 1:
+            self._inactive_refine_sharded(inactive, i)
             return
         m = inactive[self._inactive_rr % len(inactive)]
         self._inactive_rr += 1
@@ -765,6 +854,95 @@ class MIPSFusionTPU:
         first_kfs = np.asarray(st.localMLP_first_kf)[:used]
         kf_c2w = st.kf_c2w.at[jnp.asarray(first_kfs)].set(nodes[:used])
         self.state = st._replace(kf_c2w=kf_c2w)
+        # optional SDF-consistency refinement of the anchors on top of
+        # PGO (ref's older global_BA_overlapping path)
+        if self.config["mapping"].get("global_BA", {}).get(
+                "sdf_consistency", False):
+            self.global_ba_consistency()
+
+    def global_ba_consistency(self, n_iters: int = 10, n_rays: int = 512):
+        """Cross-submap SDF-consistency refinement of submap anchors
+        (ref InactiveMap.global_BA_overlapping :375-473 + get_SDF_dif
+        :149-192): for every overlapping keyframe (bound to two
+        submaps), back-project its stored rays in both submaps' local
+        frames and penalize SDF disagreement between the two fields;
+        the anchors (first-keyframe world poses, submap 0 fixed) are
+        optimized by Adam with the fields frozen.
+
+        Optional (mapping.global_BA.sdf_consistency); the default
+        global BA is the pose-graph path, like the reference's live
+        configuration.
+        """
+        st = self.state
+        used = self._host_used
+        if used < 2:
+            return
+        kf_ref = np.asarray(st.keyframe_ref)
+        bind = self._host_kf_bind
+        kf_frames = self._kf_frames()
+        ovlp = [(int(k), int(bind[k, 0]), int(bind[k, 1]))
+                for k in range(self._host_n_kf)
+                if kf_ref[k] == -2 and bind[k, 1] >= 0]
+        ovlp = [(k, m1, m2) for (k, m1, m2) in ovlp
+                if self.submap_params[m1] is not None
+                and self.submap_params[m2] is not None]
+        if not ovlp:
+            return
+
+        from ..ops.geometry import matrix_to_quaternion
+        from ..ops.losses import cross_submap_consistency
+        import optax
+
+        M = self.cap.n_submaps
+        anchors0 = st.kf_c2w[st.localMLP_first_kf[
+            jnp.clip(jnp.arange(M), 0, st.localMLP_first_kf.shape[0] - 1)]]
+        p0 = {"rot": matrix_to_quaternion(anchors0[:, :3, :3]),
+              "trans": anchors0[:, :3, 3]}
+        free = (jnp.arange(M) > 0) & (jnp.arange(M) < used)
+        opt = optax.adam(1e-3)
+
+        submap_params = self.submap_params
+        fcfg, consts = self.fcfg, self.consts
+        kf_rays = st.kf_rays
+        est_c2w = st.est_c2w
+        R = self.cap.rays_per_kf
+        sub = jnp.asarray(np.linspace(0, R - 1, min(n_rays, R))
+                          .astype(np.int32))
+
+        def loss_fn(p, key):
+            anchors = qt_to_matrix(p["rot"], p["trans"])       # [M,4,4]
+            total = 0.0
+            for (k, m1, m2) in ovlp:
+                rays = kf_rays[k][sub]
+                local1 = est_c2w[int(kf_frames[k])]
+                world = _mm(anchors[m1], local1)
+                local2 = _mm(pose_inverse(anchors[m2]), world)
+                total = total + cross_submap_consistency(
+                    submap_params[m1], submap_params[m2], fcfg, consts,
+                    consts, rays[:, :3], rays[:, 6:7], local1, local2)
+            return total / len(ovlp)
+
+        def step(carry, key):
+            p, opt_state = carry
+            loss, g = jax.value_and_grad(loss_fn)(p, key)
+            g = jax.tree.map(lambda gg: gg * free[:, None], g)
+            upd, opt_state = opt.update(g, opt_state, p)
+            return (optax.apply_updates(p, upd), opt_state), loss
+
+        @jax.jit
+        def run_opt(p0, key):
+            keys = jax.random.split(key, n_iters)
+            (p, _), losses = jax.lax.scan(step, (p0, opt.init(p0)), keys)
+            return p, losses
+
+        p, losses = run_opt(p0, self._next_key())
+        new_anchors = qt_to_matrix(p["rot"], p["trans"])
+        first_kfs = np.asarray(st.localMLP_first_kf)[:used]
+        upd = jnp.where(np.asarray(free)[:used, None, None],
+                        new_anchors[:used],
+                        st.kf_c2w[jnp.asarray(first_kfs)])
+        self.state = st._replace(
+            kf_c2w=st.kf_c2w.at[jnp.asarray(first_kfs)].set(upd))
 
     # ------------------------------------------------------------------
     # trajectory assembly & evaluation (ref Logger.py:84-126)
@@ -825,7 +1003,11 @@ class MIPSFusionTPU:
 
         The reference only reloads checkpoints for offline meshing
         (ref vis/render_mesh.py:58-77 — no mid-sequence resume); here a
-        run can continue from any periodic checkpoint.
+        run can continue from any periodic checkpoint. Adam moments of
+        the active submap are re-initialized on resume (the checkpoint
+        stores fields + SLAM state, not optimizer state) — a fresh
+        optimizer matches the reference's per-call optimizer creation
+        but briefly re-warms the learning-rate adaptation.
         """
         from .checkpoint import load_ckpt
         state, submap_params, extra = load_ckpt(ckpt_dir)
@@ -903,6 +1085,20 @@ class MIPSFusionTPU:
             save_mesh_ply(path, verts, faces, colors)
         return verts, faces, colors
 
+    def render_debug_images(self, i: int) -> None:
+        """GT-vs-render comparison grid for frame i into output_dir
+        (ref Logger.img_render_save :221-262, called in-loop at
+        mesh.vis cadence like ref mipsfusion.py:677)."""
+        if not self.output_dir:
+            return
+        from .logger import img_render_save
+        frame = self.dataset[i]
+        img_render_save(
+            self.submap_params[self.active_id], self.fcfg, self.consts,
+            self.state.est_c2w[i], np.asarray(frame["rgb"]),
+            np.asarray(frame["depth"]), np.asarray(frame["direction"]),
+            self.output_dir, i, key=jax.random.PRNGKey(i))
+
     # ------------------------------------------------------------------
     # main loop (ref mipsfusion.py:661-735)
     # ------------------------------------------------------------------
@@ -979,18 +1175,29 @@ class MIPSFusionTPU:
         for i in range(start, n):
             frame = q.get()
             self.process_frame(frame, i)
+            # first-frame GT-vs-render grid (ref mipsfusion.py:677)
+            if i == 0 and self.output_dir and vis_every:
+                self.render_debug_images(i)
             if verbose and i % 25 == 0 and i > 0:
                 fps = i / (time.time() - t_start)
                 print(f"frame {i}/{n}  track_loss="
                       f"{float(self.track_losses[-1]):.4f}  submap="
                       f"{self.active_id}  {fps:.2f} fps")
-            # in-loop evaluation + trajectory export (ref :712-716)
+            # in-loop evaluation + trajectory export + visual
+            # observability (ref :677,712-716; Logger.py:221-262)
             if (self.output_dir and vis_every and i > 0
                     and i % vis_every == 0):
                 res = self.evaluate(i, tag=str(i))
                 save_traj_tum(self.world_trajectory(i),
                               os.path.join(self.output_dir,
                                            f"traj_{i}.txt"))
+                self.render_debug_images(i)
+                from .logger import plot_traj
+                gt = np.stack([self._gt_pose(j) for j in range(i + 1)])
+                plot_traj(gt, self.world_trajectory(i),
+                          os.path.join(self.output_dir,
+                                       f"traj_{i}.png"),
+                          title=f"frame {i}")
                 if verbose:
                     print(f"  [eval@{i}] ATE RMSE "
                           f"{res['absolute_translational_error.rmse']:.4f}")

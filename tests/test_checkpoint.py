@@ -11,6 +11,8 @@ from mipsfusion_tpu.slam.checkpoint import load_ckpt, save_ckpt
 from mipsfusion_tpu.slam.system import MIPSFusionTPU
 from test_slam_single import tiny_config
 
+pytestmark = pytest.mark.slow
+
 
 def test_ckpt_roundtrip(tmp_path):
     from mipsfusion_tpu.slam import state as slam_state

@@ -3,6 +3,7 @@
 import os
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -10,6 +11,8 @@ from mipsfusion_tpu.models import scene_rep as sr
 from mipsfusion_tpu.models.decoder import DecoderConfig
 from mipsfusion_tpu.ops.encoding import FrequencyConfig, TriplaneConfig
 from mipsfusion_tpu.slam import logger
+
+pytestmark = pytest.mark.slow
 
 
 def small_field():

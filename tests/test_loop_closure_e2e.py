@@ -17,6 +17,8 @@ from mipsfusion_tpu.datasets.synthetic import SyntheticDataset
 from mipsfusion_tpu.slam.system import MIPSFusionTPU
 from test_slam_single import tiny_config
 
+pytestmark = pytest.mark.slow
+
 
 def loop_config(n_frames=160):
     cfg = tiny_config(n_frames)

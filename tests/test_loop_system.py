@@ -22,6 +22,8 @@ from mipsfusion_tpu.datasets.synthetic import SyntheticDataset
 from mipsfusion_tpu.slam.system import MIPSFusionTPU
 from test_slam_multi import multi_config
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def loop_run():

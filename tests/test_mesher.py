@@ -7,6 +7,8 @@ import pytest
 
 from mipsfusion_tpu.mesher.marching import marching_cubes, _marching_py
 
+pytestmark = pytest.mark.slow
+
 
 def sphere_tsdf(n=32, r=0.3, trunc=0.2):
     ax = np.linspace(-0.5, 0.5, n, dtype=np.float32)

@@ -1,0 +1,68 @@
+"""Sharded inactive-submap refinement on the virtual 8-device CPU mesh.
+
+The live system must run background refinement as ONE sharded step over
+the stacked inactive-submap axis when multiple devices exist
+(ARCHITECTURE.md parallelism; VERDICT r1 item 5), and the result must
+stay consistent with the sequential round-robin path.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mipsfusion_tpu.datasets.synthetic import SyntheticDataset
+from mipsfusion_tpu.slam.system import MIPSFusionTPU
+from test_slam_single import tiny_config
+
+pytestmark = pytest.mark.slow
+
+
+def corridor_cfg(n_frames=60, sharded=True):
+    cfg = tiny_config(n_frames)
+    cfg["use_manager"] = True
+    cfg["synthetic"] = {"trajectory": "corridor", "n_frames": n_frames,
+                        "span": 1.0}
+    cfg["mapping"]["keyframe_every"] = 10
+    cfg["mapping"]["localMLP_max_len"] = [2.0, 2.0, 2.0]
+    cfg["mapping"]["min_cr_localMLP_len"] = [1.8, 1.8, 1.8]
+    cfg["parallel"] = {"sharded_refine": sharded}
+    return cfg
+
+
+def _run(sharded):
+    cfg = corridor_cfg(sharded=sharded)
+    ds = SyntheticDataset(cfg, n_frames=cfg["synthetic"]["n_frames"],
+                          trajectory="corridor", span=1.0)
+    slam = MIPSFusionTPU(cfg, dataset=ds)
+    calls = {"sharded": 0}
+    orig = slam._inactive_refine_sharded
+
+    def spy(inactive, i):
+        calls["sharded"] += 1
+        return orig(inactive, i)
+
+    slam._inactive_refine_sharded = spy
+    results = slam.run(verbose=False)
+    return slam, results, calls
+
+
+def test_sharded_refine_runs_and_matches_sequential():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 CPU devices"
+    slam_s, res_s, calls_s = _run(sharded=True)
+    assert res_s["n_submaps"] >= 2, "corridor must spawn several submaps"
+    assert calls_s["sharded"] >= 1, "sharded refinement never ran"
+    # params of refined submaps stay finite and placed
+    for m in range(res_s["n_submaps"]):
+        if slam_s.submap_params[m] is not None:
+            leaves = jax.tree.leaves(slam_s.submap_params[m])
+            assert all(bool(jnp.isfinite(l).all()) for l in leaves)
+
+    slam_q, res_q, calls_q = _run(sharded=False)
+    assert calls_q["sharded"] == 0
+    ate_s = res_s["absolute_translational_error.rmse"]
+    ate_q = res_q["absolute_translational_error.rmse"]
+    # both paths must track the corridor to the same accuracy class
+    assert ate_s < 0.08, f"sharded-path ATE degraded: {ate_s}"
+    assert ate_q < 0.08
+    assert abs(ate_s - ate_q) < 0.04

@@ -14,6 +14,8 @@ from mipsfusion_tpu.datasets.synthetic import SyntheticDataset
 from mipsfusion_tpu.slam.system import MIPSFusionTPU
 from test_slam_single import tiny_config
 
+pytestmark = pytest.mark.slow
+
 
 def multi_config(n_frames=48):
     cfg = tiny_config(n_frames)

@@ -14,6 +14,8 @@ import pytest
 from mipsfusion_tpu.datasets.synthetic import SyntheticDataset
 from mipsfusion_tpu.slam.system import MIPSFusionTPU
 
+pytestmark = pytest.mark.slow
+
 
 def tiny_config(n_frames=24):
     return {
