@@ -1,6 +1,7 @@
 import os, sys, time
 os.environ["XLA_FLAGS"] = os.environ.get("XLA_FLAGS","") + " --xla_force_host_platform_device_count=8"
 os.environ["MIPS_DEBUG_MANAGER"] = "1"
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache_cpu")
 import jax
 jax.config.update("jax_platforms", "cpu")
 sys.path.insert(0, "tests")
@@ -11,6 +12,9 @@ from test_loop_closure_e2e import loop_config
 
 cfg = loop_config()
 cfg["debug_loop"] = True
+cfg["parallel"] = {"sharded_refine": False}
+import jax as _j
+_j.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 ds = SyntheticDataset(cfg, n_frames=cfg["synthetic"]["n_frames"], trajectory="outback", span=1.0)
 slam = MIPSFusionTPU(cfg, dataset=ds)
 switches = []

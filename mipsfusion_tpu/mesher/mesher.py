@@ -55,7 +55,8 @@ class Mesher:
 
         @jax.jit
         def _query(params, pts):
-            out = sr.run_network(params, pts, fcfg, consts)
+            # gradient-free -> fused single-launch query on TPU
+            out = sr.run_network_fused(params, pts, fcfg, consts)
             # rgb(3) sdf(1) entropy(1)
             return out[..., :5]
 

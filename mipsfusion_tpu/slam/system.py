@@ -778,13 +778,17 @@ class MIPSFusionTPU:
         if step is None:
             step = self._sharded_refine_cache.setdefault(
                 mi, self._make_sharded_refine_step(mi))
-        stacked = jax.tree.map(
-            lambda *xs: jnp.stack(xs),
-            *[self.submap_params[m] for m in ms])
-        keys = jax.random.split(jax.random.fold_in(self._refine_key, i),
-                                mi)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        ssh = NamedSharding(self._mesh, P("data"))
+        stacked = jax.device_put(
+            jax.tree.map(lambda *xs: jnp.stack(xs),
+                         *[self.submap_params[m] for m in ms]), ssh)
+        keys = jax.device_put(
+            jax.random.split(jax.random.fold_in(self._refine_key, i), mi),
+            ssh)
         st, fields = step(self.state, stacked,
-                          jnp.asarray(ms, jnp.int32), keys)
+                          jax.device_put(jnp.asarray(ms, jnp.int32), ssh),
+                          keys)
         self.state = st
         for slot, m in enumerate(ms[:len(inactive)]):
             self.submap_params[m] = jax.tree.map(
@@ -806,7 +810,7 @@ class MIPSFusionTPU:
                     is not None]
         if not inactive:
             return
-        if self.use_sharded_refine and len(inactive) > 1:
+        if self.use_sharded_refine:
             self._inactive_refine_sharded(inactive, i)
             return
         m = inactive[self._inactive_rr % len(inactive)]

@@ -1,5 +1,11 @@
 """End-to-end organic loop closure on the out-and-back trajectory.
 
+The sequence length (200 frames at keyframe_every=10) leaves headroom
+for BOTH organic switch-back routes: the case-5 re-entry path and the
+double-binding counter (>= 4 consecutive two-submap bindings force the
+switch attempt, ref Manager.py:63-85) — which of the two fires depends
+on how far the second submap's AABB expanded during tracking.
+
 The camera travels out along +x (spawning new submaps as containing
 ratios drop) and returns along the same path with the same heading: the
 return leg must re-enter a previous submap's region, pass overlap
@@ -20,7 +26,7 @@ from test_slam_single import tiny_config
 pytestmark = pytest.mark.slow
 
 
-def loop_config(n_frames=160):
+def loop_config(n_frames=200):
     cfg = tiny_config(n_frames)
     cfg["use_manager"] = True
     cfg["synthetic"] = {"trajectory": "outback", "n_frames": n_frames,

@@ -62,12 +62,43 @@ def main():
     kf_c2w = np.asarray(state.kf_c2w)
     anchors = kf_c2w[first_kf[:used]]
 
+    # keyframe world poses + per-kf max depth for the visibility filters
+    # (ref Mesher.py:245-281,360-378)
+    from mipsfusion_tpu.mesher.mesher import apply_visibility_filters
+    n_kf = int(np.asarray(state.n_kf))
+    kf_ref = np.asarray(state.keyframe_ref)[:n_kf]
+    bind0 = np.asarray(state.keyframe_localMLP)[:n_kf, 0]
+    kf_frames = np.asarray(state.kf_frame_ids)[:n_kf]
+    est = np.asarray(state.est_c2w)
+    kf_world = np.empty((n_kf, 4, 4), np.float32)
+    for k in range(n_kf):
+        if kf_ref[k] == -1:
+            kf_world[k] = kf_c2w[k]
+        else:
+            anchor = kf_c2w[first_kf[max(bind0[k], 0)]]
+            kf_world[k] = anchor @ est[kf_frames[k]]
+    kf_max_d = np.asarray(state.kf_rays)[:n_kf, :, 6].max(axis=1)
+    cam = cfg["cam"]
+    ds_f = cfg["data"].get("downsample", 1)
+    H, W = cam["H"] // ds_f, cam["W"] // ds_f
+    K_mat = np.asarray([[cam["fx"] / ds_f, 0, cam["cx"] / ds_f],
+                        [0, cam["fy"] / ds_f, cam["cy"] / ds_f],
+                        [0, 0, 1.0]])
+    min_area = cfg.get("mesh", {}).get(
+        "remove_small_geometry_threshold", 0.5)
+
+    def cleanup(verts, faces, colors):
+        return apply_visibility_filters(
+            verts, faces, colors, kf_world, K_mat, H, W, kf_max_d,
+            min_component_area=min_area)
+
     for i in range(used):
         if submap_params[i] is None:
             continue
         verts, faces, colors = mesher.extract_single_mesh(
             submap_params[i], anchors[i], info[i, 1:4], info[i, 4:7],
             trunc=0.99, bound_world=bound)
+        verts, faces, colors = cleanup(verts, faces, colors)
         out = os.path.join(args.seq_result, f"mesh_{i}_{args.ckpt}.ply")
         save_mesh_ply(out, verts, faces, colors)
         print(f"submap {i}: {len(verts)} verts {len(faces)} faces -> {out}")
@@ -77,6 +108,7 @@ def main():
         verts, faces, colors = mesher.extract_mesh_jointly(
             params, anchors, info[:used, 1:4], info[:used, 4:7],
             trunc=0.99, bound_world=bound)
+        verts, faces, colors = cleanup(verts, faces, colors)
         out = os.path.join(args.seq_result, f"mesh_joint_{args.ckpt}.ply")
         save_mesh_ply(out, verts, faces, colors)
         print(f"joint: {len(verts)} verts {len(faces)} faces -> {out}")
