@@ -75,7 +75,11 @@ class MIPSFusionTPU:
         m = config["mapping"]
         self.keyframe_every = m["keyframe_every"]
         self.map_every = m["map_every"]
-        n_frames = dataset.num_frames
+        # state capacities are BUCKETED (next multiple of 256 frames) so
+        # different sequence lengths share compiled programs — otherwise
+        # every est_c2w[n_frames] shape change recompiles the whole
+        # track/BA pipeline (minutes per shape on the compile tunnel)
+        n_frames = -(-dataset.num_frames // 256) * 256
         num_kf = n_frames // self.keyframe_every + 1
 
         samp = config["sampling"]

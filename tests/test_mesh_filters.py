@@ -79,3 +79,42 @@ def test_apply_visibility_filters_end_to_end():
     # only the in-front quad survives: no geometry in never-observed space
     assert len(nv) == 4
     assert np.allclose(nv[:, 2], -3.0)
+
+
+import pytest as _pytest
+
+
+@_pytest.mark.slow
+def test_slam_mesh_has_no_geometry_in_unobserved_space():
+    """Independent oracle: a camera that never looks toward +z must not
+    produce mesh geometry deep in the +z half of the room (the filters
+    cull hallucinated surfaces in never-observed space,
+    ref Mesher.py:245-281)."""
+    import pytest
+    pytest.importorskip("scipy")
+    import sys
+    sys.path.insert(0, "tests")
+    from mipsfusion_tpu.datasets.synthetic import SyntheticDataset
+    from mipsfusion_tpu.slam.system import MIPSFusionTPU
+    from test_slam_single import tiny_config
+
+    n = 24
+    cfg = tiny_config(n)
+    cfg["use_manager"] = False
+    # hold the camera near the origin with minimal motion: it always
+    # looks along -z, so z > +0.5 is never observed
+    ds = SyntheticDataset(cfg, n_frames=n, trajectory="orbit",
+                          span=0.02)
+    slam = MIPSFusionTPU(cfg, dataset=ds)
+
+    def frame(i):
+        return {"frame_id": i, "c2w": ds.gt_pose(i)}
+
+    slam.first_frame_mapping(frame(0), 150)
+    for i in range(1, n):
+        slam.process_frame(frame(i), i)
+    verts, faces, _ = slam.extract_mesh(joint=False, voxel_size=0.15)
+    assert len(verts) > 0, "mesh extraction produced nothing"
+    assert (verts[:, 2] < 1.0).all(), (
+        f"mesh contains geometry in never-observed space: "
+        f"max z = {verts[:, 2].max():.2f}")

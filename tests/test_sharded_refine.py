@@ -18,7 +18,7 @@ from test_slam_single import tiny_config
 pytestmark = pytest.mark.slow
 
 
-def corridor_cfg(n_frames=60, sharded=True):
+def corridor_cfg(n_frames=45, sharded=True):
     cfg = tiny_config(n_frames)
     cfg["use_manager"] = True
     cfg["synthetic"] = {"trajectory": "corridor", "n_frames": n_frames,
@@ -32,6 +32,9 @@ def corridor_cfg(n_frames=60, sharded=True):
 
 def _run(sharded):
     cfg = corridor_cfg(sharded=sharded)
+    # keep the CPU compile burden down: the sharded step vmaps a full
+    # local-BA body over the padded submap axis
+    cfg["mapping"]["first_iters"] = 150
     ds = SyntheticDataset(cfg, n_frames=cfg["synthetic"]["n_frames"],
                           trajectory="corridor", span=1.0)
     slam = MIPSFusionTPU(cfg, dataset=ds)
@@ -62,7 +65,8 @@ def test_sharded_refine_runs_and_matches_sequential():
     assert calls_q["sharded"] == 0
     ate_s = res_s["absolute_translational_error.rmse"]
     ate_q = res_q["absolute_translational_error.rmse"]
+    print(f"ATE sharded {ate_s*1000:.1f} mm, sequential {ate_q*1000:.1f} mm")
     # both paths must track the corridor to the same accuracy class
     assert ate_s < 0.08, f"sharded-path ATE degraded: {ate_s}"
-    assert ate_q < 0.08
+    assert ate_q < 0.08, f"sequential-path ATE degraded: {ate_q}"
     assert abs(ate_s - ate_q) < 0.04
