@@ -17,14 +17,15 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
-os.environ.setdefault(
-    "JAX_COMPILATION_CACHE_DIR",
-    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                 ".jax_cache_cpu"))
-
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 # big scan bodies (track/BA) take minutes to compile on CPU; cache them
-# across runs so the default suite is fast after the first execution
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# across runs so the default suite is fast after the first execution.
+# NOTE: must go through jax.config (the axon sitecustomize imports jax
+# before conftest runs, so the env var is read too early to matter).
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache_cpu"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
