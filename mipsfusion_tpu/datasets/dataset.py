@@ -72,6 +72,12 @@ class BaseDataset:
         self.fx, self.fy = cam["fx"] / ds, cam["fy"] / ds
         self.cx, self.cy = cam["cx"] / ds, cam["cy"] / ds
         self.distortion = np.array(cam["distortion"]) if cam.get("distortion") else None
+        # undistortion runs at NATIVE resolution (before downsample/crop)
+        self._K_native = np.array(
+            [[cam["fx"], 0.0, cam["cx"]],
+             [0.0, cam["fy"], cam["cy"]],
+             [0.0, 0.0, 1.0]], np.float64)
+        self._undistort_maps = None
         self.crop_size = cam.get("crop_edge", 0)
         self.ignore_w = cfg.get("tracking", {}).get("ignore_edge_W", 0)
         self.ignore_h = cfg.get("tracking", {}).get("ignore_edge_H", 0)
@@ -93,6 +99,26 @@ class BaseDataset:
             self.H, self.W, self.fx, self.fy, self.cx, self.cy),
             dtype=np.float32)
 
+    def _undistort(self, color: np.ndarray, depth: np.ndarray):
+        """Lens-distortion correction at native resolution.
+
+        The reference only *stores* cam.distortion and raises
+        NotImplementedError when it is set (ref datasets/dataset.py:31,
+        79,170,279); here the correction is actually applied: bilinear
+        undistort for color, nearest-neighbor remap for depth (bilinear
+        would blend depths across occlusion boundaries).
+        """
+        if self._undistort_maps is None:
+            h, w = depth.shape
+            m1, m2 = cv2.initUndistortRectifyMap(
+                self._K_native, self.distortion, None, self._K_native,
+                (w, h), cv2.CV_32FC1)
+            self._undistort_maps = (m1, m2)
+        m1, m2 = self._undistort_maps
+        color = cv2.remap(color, m1, m2, cv2.INTER_LINEAR)
+        depth = cv2.remap(depth, m1, m2, cv2.INTER_NEAREST)
+        return color, depth
+
     def _load_frame(self, color_path: str, depth_path: str,
                     downsample_factor: int, sc_factor: float):
         if cv2 is None:
@@ -101,6 +127,11 @@ class BaseDataset:
         depth = cv2.imread(depth_path, cv2.IMREAD_UNCHANGED)
         color = color.astype(np.float32) / 255.0
         depth = depth.astype(np.float32) / self.png_depth_scale * sc_factor
+        if self.distortion is not None:
+            H0, W0 = depth.shape
+            if color.shape[:2] != (H0, W0):
+                color = cv2.resize(color, (W0, H0))
+            color, depth = self._undistort(color, depth)
 
         H, W = depth.shape
         color = cv2.resize(color, (W, H))

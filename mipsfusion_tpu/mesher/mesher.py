@@ -305,6 +305,62 @@ def apply_visibility_filters(verts: np.ndarray, faces: np.ndarray,
     return verts[used], remap[faces], colors
 
 
+def load_mesh_ply(path: str):
+    """Read an ascii PLY written by save_mesh_ply (or compatible).
+
+    Returns (verts [N,3] f32, faces [F,3] i32, colors [N,3] f32 in [0,1]
+    or None).
+    """
+    with open(path) as f:
+        assert f.readline().strip() == "ply", "not a PLY file"
+        n_vert = n_face = 0
+        has_color = False
+        for line in f:
+            tok = line.strip().split()
+            if tok[:2] == ["element", "vertex"]:
+                n_vert = int(tok[2])
+            elif tok[:2] == ["element", "face"]:
+                n_face = int(tok[2])
+            elif tok[:2] == ["property", "uchar"] and tok[2] in (
+                    "red", "green", "blue"):
+                has_color = True
+            elif tok[0] == "format" and tok[1] != "ascii":
+                raise ValueError("only ascii PLY is supported")
+            elif tok[0] == "end_header":
+                break
+        verts = np.empty((n_vert, 3), np.float32)
+        colors = np.empty((n_vert, 3), np.float32) if has_color else None
+        for i in range(n_vert):
+            vals = f.readline().split()
+            verts[i] = [float(v) for v in vals[:3]]
+            if has_color:
+                colors[i] = [float(v) / 255.0 for v in vals[3:6]]
+        faces = np.empty((n_face, 3), np.int32)
+        for i in range(n_face):
+            vals = f.readline().split()
+            assert vals[0] == "3", "only triangle faces are supported"
+            faces[i] = [int(v) for v in vals[1:4]]
+    return verts, faces, colors
+
+
+def concat_meshes(meshes):
+    """Concatenate (verts, faces, colors) triples with index offsets."""
+    verts_l, faces_l, colors_l = [], [], []
+    off = 0
+    any_color = any(c is not None for _, _, c in meshes)
+    for v, fcs, c in meshes:
+        verts_l.append(v)
+        faces_l.append(np.asarray(fcs) + off)
+        if any_color:
+            colors_l.append(c if c is not None
+                            else np.full((len(v), 3), 0.5, np.float32))
+        off += len(v)
+    verts = np.concatenate(verts_l) if verts_l else np.zeros((0, 3))
+    faces = np.concatenate(faces_l) if faces_l else np.zeros((0, 3), np.int32)
+    colors = np.concatenate(colors_l) if any_color else None
+    return verts, faces, colors
+
+
 def save_mesh_ply(path: str, verts: np.ndarray, faces: np.ndarray,
                   colors: Optional[np.ndarray] = None) -> None:
     """Minimal binary-less PLY writer (no trimesh dependency)."""

@@ -100,16 +100,24 @@ def make_pose_optimizer(mcfg: MapConfig) -> optax.GradientTransformation:
 # First-frame / new-submap initialization
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("fcfg", "mcfg", "n_iters", "n_rays"))
+@partial(jax.jit, static_argnames=("fcfg", "mcfg", "n_iters", "n_rays",
+                                   "ray_sharding"))
 def init_submap_fit(field_params: Dict, map_opt_state, key: jax.Array,
                     frame_rays: jnp.ndarray, fcfg: sr.FieldConfig,
                     consts: sr.FieldConsts, mcfg: MapConfig,
-                    lw: sr.LossWeights, n_iters: int, n_rays: int):
+                    lw: sr.LossWeights, n_iters: int, n_rays: int,
+                    ray_sharding=None):
     """Fit the field to one frame at the local identity pose.
 
     frame_rays: [H*W, 7] (direction, rgb, depth) in the camera frame =
     local frame (the frame IS the submap origin). Returns (params,
     opt_state, last losses dict).
+
+    ``ray_sharding`` (a NamedSharding over the mesh's data axis, or
+    None): when set, the per-iteration ray batch is sharded across
+    devices — params stay replicated and XLA inserts the gradient
+    all-reduce over ICI (ray data-parallelism, SURVEY §2.11; see
+    parallel/sharding.py).
     """
     opt = make_map_optimizer(mcfg)
 
@@ -118,6 +126,8 @@ def init_submap_fit(field_params: Dict, map_opt_state, key: jax.Array,
         k1, k2 = jax.random.split(k)
         idx = jax.random.randint(k1, (n_rays,), 0, frame_rays.shape[0])
         rays = frame_rays[idx]
+        if ray_sharding is not None:
+            rays = jax.lax.with_sharding_constraint(rays, ray_sharding)
 
         def loss_fn(p):
             ret = sr.forward_losses(p, k2, jnp.zeros_like(rays[:, :3]),
@@ -177,19 +187,27 @@ class BAResult(NamedTuple):
 
 
 @partial(jax.jit, static_argnames=("fcfg", "mcfg", "n_total",
-                                   "include_current"))
+                                   "include_current", "ray_sharding"))
 def local_ba(field_params: Dict, map_opt_state, key: jax.Array,
              kf_rays: jnp.ndarray, kf_mask: jnp.ndarray,
              first_kf: jnp.ndarray, last_kf: jnp.ndarray,
              kf_poses_local: jnp.ndarray, cur_rays: jnp.ndarray,
              cur_pose_local: jnp.ndarray, fcfg: sr.FieldConfig,
              consts: sr.FieldConsts, mcfg: MapConfig, lw: sr.LossWeights,
-             n_total: int, include_current: bool = True) -> BAResult:
+             n_total: int, include_current: bool = True,
+             ray_sharding=None) -> BAResult:
     """Joint map+pose BA over the active submap's keyframes.
 
     kf_rays: [K, R, 7] full keyframe store; kf_mask: [K] bool membership;
     kf_poses_local: [K, 4, 4] local poses; cur_rays: [P, 7] current frame;
     n_total: static total rays per iteration (sample + pixels_cur).
+
+    ``ray_sharding``: optional NamedSharding for ray data-parallelism —
+    the sampled per-iteration batch (rays, poses, targets) is sharded
+    across the mesh's data axis while field + pose params stay
+    replicated; the map and pose gradient all-reduces ride ICI
+    (inserted by XLA from the constraint). n_total must be divisible by
+    the data-axis size.
     """
     K, R, _ = kf_rays.shape
     opt_map = make_map_optimizer(mcfg)

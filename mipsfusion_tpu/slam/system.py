@@ -154,20 +154,35 @@ class MIPSFusionTPU:
         self.inactive_started = False
         self._inactive_rr = 0
         self.n_devices = len(jax.devices())
+        par = config.get("parallel", {})
         self.use_sharded_refine = (
-            self.n_devices > 1
-            and config.get("parallel", {}).get("sharded_refine", True))
+            self.n_devices > 1 and par.get("sharded_refine", True))
+        # ray data-parallelism on the HOT PATH (local BA + submap init):
+        # the per-iteration ray batch is sharded over the mesh's data
+        # axis, field/pose params replicated, gradient all-reduce over
+        # ICI (SURVEY §2.11 rays-across-devices; parallel/sharding.py)
+        self.use_dp_hot = (
+            self.n_devices > 1 and par.get("dp_hot_path", True))
         self._sharded_refine_cache: Dict[int, object] = {}
         self._mesh = None
-        if self.use_sharded_refine:
+        self._ray_sharding = None
+        if self.use_sharded_refine or self.use_dp_hot:
             from ..parallel import sharding as sh
             self._mesh = sh.make_mesh(self.n_devices)
+            if self.use_dp_hot:
+                self._ray_sharding = sh.ray_sharded(self._mesh)
+
+        # on-demand in-loop meshing (the reference's mesh_flag hook,
+        # ref InactiveMap.py:526-529 — there the flag is polled by the
+        # background process; here the request is honored by run() at
+        # the next frame boundary). mesh.mesh_freq > 0 additionally
+        # requests a mesh every mesh_freq frames.
+        self._mesh_request: Optional[int] = None
 
         # loop-closure transient state
         self.debug_loop = bool(config.get("debug_loop", False))
         self.rectified_local_pose: Optional[jnp.ndarray] = None
         self.temp_local_pose: Optional[jnp.ndarray] = None
-        self.do_global_ba = False
         self.key_kf_id = -1
 
         # jitted wrappers over pure state->array helpers (eager per-op
@@ -236,6 +251,14 @@ class MIPSFusionTPU:
     def _next_key(self):
         self.key, k = jax.random.split(self.key)
         return k
+
+    def _round_rays(self, n: int) -> int:
+        """Round a per-iteration ray budget up to a multiple of the
+        data-axis size (sharded batches must divide evenly)."""
+        if self._ray_sharding is None:
+            return n
+        d = self.n_devices
+        return -(-n // d) * d
 
     def _kf_frames(self):
         K = self.cap.n_keyframes
@@ -363,7 +386,9 @@ class MIPSFusionTPU:
         params, opt_state, _ = mapper.init_submap_fit(
             self.submap_params[0], self.map_opt_state, self._next_key(),
             frame_rays.reshape(-1, 7), self.fcfg, self.consts, self.mcfg,
-            self.lw, n_iters, self.mcfg.mapping_sample_init)
+            self.lw, n_iters,
+            self._round_rays(self.mcfg.mapping_sample_init),
+            ray_sharding=self._ray_sharding)
         self.submap_params[0] = params
         self.map_opt_state = opt_state
 
@@ -419,7 +444,8 @@ class MIPSFusionTPU:
                 params, opt_state, key, st.kf_rays, kf_mask, first_kf,
                 last_kf, poses_local, cur_rays, st.est_c2w[i],
                 self.fcfg, self.consts, mcfg, self.lw,
-                mcfg.sample + mcfg.pixels_cur)
+                self._round_rays(mcfg.sample + mcfg.pixels_cur),
+                ray_sharding=self._ray_sharding)
             opt_poses = qt_to_matrix(res.kf_quat, res.kf_trans)
             st = self.writeback_ba_poses(st, active, kf_mask, opt_poses)
             if optim_cur:
@@ -483,7 +509,8 @@ class MIPSFusionTPU:
             self.submap_params[new_id], self.map_opt_state,
             self._next_key(), self._packed_frame.reshape(-1, 7), self.fcfg,
             self.consts, self.mcfg, self.lw, self.mcfg.first_iters,
-            self.mcfg.mapping_sample_init)
+            self._round_rays(self.mcfg.mapping_sample_init),
+            ray_sharding=self._ray_sharding)
         self.submap_params[new_id] = params
         self.map_opt_state = opt_state
 
@@ -714,8 +741,9 @@ class MIPSFusionTPU:
             res = mapper.local_ba(
                 params, opt_state, key, st.kf_rays, kf_mask, first_kf,
                 last_kf, poses_local, dummy_cur, jnp.eye(4), self.fcfg,
-                self.consts, self.mcfg, self.lw, self.mcfg.sample,
-                include_current=False)
+                self.consts, self.mcfg, self.lw,
+                self._round_rays(self.mcfg.sample),
+                include_current=False, ray_sharding=self._ray_sharding)
             opt_poses = qt_to_matrix(res.kf_quat, res.kf_trans)
             st = self.writeback_ba_poses(st, m, kf_mask, opt_poses)
             return st, res.field_params
@@ -758,11 +786,15 @@ class MIPSFusionTPU:
             return res.field_params, opt_poses, wb_mask
 
         @partial(jax.jit,
-                 in_shardings=(rep, ssh, ssh, ssh),
+                 in_shardings=(rep, ssh, ssh, ssh, rep),
                  out_shardings=(rep, ssh))
-        def step(st, stacked_params, ms, keys):
+        def step(st, stacked_params, ms, keys, n_real):
             fields, opt_poses, masks = jax.vmap(
                 lambda p, m, k: one(st, p, m, k))(stacked_params, ms, keys)
+            # cycle-padded slots (slot >= n_real) duplicate real submap
+            # ids; masking them out keeps the write-back one-per-submap
+            # (no duplicate applications, no ordering dependency)
+            masks = masks & (jnp.arange(mi)[:, None] < n_real)
 
             def wb(i, stt):
                 return self.writeback_ba_poses(stt, ms[i], masks[i],
@@ -792,7 +824,7 @@ class MIPSFusionTPU:
             ssh)
         st, fields = step(self.state, stacked,
                           jax.device_put(jnp.asarray(ms, jnp.int32), ssh),
-                          keys)
+                          keys, jnp.asarray(len(inactive), jnp.int32))
         self.state = st
         for slot, m in enumerate(ms[:len(inactive)]):
             self.submap_params[m] = jax.tree.map(
@@ -868,6 +900,61 @@ class MIPSFusionTPU:
                 "sdf_consistency", False):
             self.global_ba_consistency()
 
+    def _get_consistency_opt(self, B: int, n_iters: int, n_rays: int):
+        """Jitted anchor optimizer for global_ba_consistency, cached per
+        (pair-bucket, iters, rays) so repeated loop events reuse the
+        compiled program regardless of WHICH keyframes overlap."""
+        cache = getattr(self, "_consistency_opt_cache", None)
+        if cache is None:
+            cache = self._consistency_opt_cache = {}
+        fn = cache.get((B, n_iters, n_rays))
+        if fn is not None:
+            return fn
+
+        from ..ops.losses import cross_submap_consistency
+        import optax
+
+        fcfg, consts = self.fcfg, self.consts
+        R = self.cap.rays_per_kf
+        sub = jnp.asarray(np.linspace(0, R - 1, min(n_rays, R))
+                          .astype(np.int32))
+        opt = optax.adam(1e-3)
+
+        @jax.jit
+        def run_opt(p0, stacked, kf_rays, est_c2w, free, pk, pm1, pm2,
+                    pair_valid, kf_frames, key):
+            def loss_fn(p):
+                anchors = qt_to_matrix(p["rot"], p["trans"])   # [M,4,4]
+
+                def pair_loss(k, m1, m2):
+                    rays = kf_rays[k][sub]
+                    local1 = est_c2w[kf_frames[k]]
+                    world = _mm(anchors[m1], local1)
+                    local2 = _mm(pose_inverse(anchors[m2]), world)
+                    params1 = jax.tree.map(lambda x: x[m1], stacked)
+                    params2 = jax.tree.map(lambda x: x[m2], stacked)
+                    return cross_submap_consistency(
+                        params1, params2, fcfg, consts, consts,
+                        rays[:, :3], rays[:, 6:7], local1, local2)
+
+                per_pair = jax.vmap(pair_loss)(pk, pm1, pm2)
+                return (jnp.sum(per_pair * pair_valid)
+                        / jnp.maximum(jnp.sum(pair_valid), 1.0))
+
+            def step(carry, _):
+                p, opt_state = carry
+                loss, g = jax.value_and_grad(loss_fn)(p)
+                g = jax.tree.map(lambda gg: gg * free[:, None], g)
+                upd, opt_state = opt.update(g, opt_state, p)
+                return (optax.apply_updates(p, upd), opt_state), loss
+
+            (p, _), losses = jax.lax.scan(
+                step, (p0, opt.init(p0)), None, length=n_iters)
+            return p, losses
+
+        cache[(B, n_iters, n_rays)] = run_opt
+        return run_opt
+
     def global_ba_consistency(self, n_iters: int = 10, n_rays: int = 512):
         """Cross-submap SDF-consistency refinement of submap anchors
         (ref InactiveMap.global_BA_overlapping :375-473 + get_SDF_dif
@@ -898,8 +985,6 @@ class MIPSFusionTPU:
             return
 
         from ..ops.geometry import matrix_to_quaternion
-        from ..ops.losses import cross_submap_consistency
-        import optax
 
         M = self.cap.n_submaps
         anchors0 = st.kf_c2w[st.localMLP_first_kf[
@@ -907,43 +992,29 @@ class MIPSFusionTPU:
         p0 = {"rot": matrix_to_quaternion(anchors0[:, :3, :3]),
               "trans": anchors0[:, :3, 3]}
         free = (jnp.arange(M) > 0) & (jnp.arange(M) < used)
-        opt = optax.adam(1e-3)
 
-        submap_params = self.submap_params
-        fcfg, consts = self.fcfg, self.consts
-        kf_rays = st.kf_rays
-        est_c2w = st.est_c2w
-        R = self.cap.rays_per_kf
-        sub = jnp.asarray(np.linspace(0, R - 1, min(n_rays, R))
-                          .astype(np.int32))
+        # pair data as bucket-padded ARRAYS so the jitted optimizer is
+        # compiled once per bucket size, not once per distinct
+        # overlapping-keyframe set (unbounded retraces on long
+        # multi-loop sequences otherwise)
+        B = 4
+        while B < len(ovlp):
+            B *= 2
+        pk, pm1, pm2 = (np.zeros(B, np.int32) for _ in range(3))
+        for j, (k, m1, m2) in enumerate(ovlp):
+            pk[j], pm1[j], pm2[j] = k, m1, m2
+        pair_valid = np.arange(B) < len(ovlp)
+        stacked = jax.tree.map(
+            lambda *xs: jnp.stack(xs),
+            *[self.submap_params[m] if self.submap_params[m] is not None
+              else self.initial_params for m in range(M)])
 
-        def loss_fn(p, key):
-            anchors = qt_to_matrix(p["rot"], p["trans"])       # [M,4,4]
-            total = 0.0
-            for (k, m1, m2) in ovlp:
-                rays = kf_rays[k][sub]
-                local1 = est_c2w[int(kf_frames[k])]
-                world = _mm(anchors[m1], local1)
-                local2 = _mm(pose_inverse(anchors[m2]), world)
-                total = total + cross_submap_consistency(
-                    submap_params[m1], submap_params[m2], fcfg, consts,
-                    consts, rays[:, :3], rays[:, 6:7], local1, local2)
-            return total / len(ovlp)
-
-        def step(carry, key):
-            p, opt_state = carry
-            loss, g = jax.value_and_grad(loss_fn)(p, key)
-            g = jax.tree.map(lambda gg: gg * free[:, None], g)
-            upd, opt_state = opt.update(g, opt_state, p)
-            return (optax.apply_updates(p, upd), opt_state), loss
-
-        @jax.jit
-        def run_opt(p0, key):
-            keys = jax.random.split(key, n_iters)
-            (p, _), losses = jax.lax.scan(step, (p0, opt.init(p0)), keys)
-            return p, losses
-
-        p, losses = run_opt(p0, self._next_key())
+        run_opt = self._get_consistency_opt(B, n_iters, n_rays)
+        p, losses = run_opt(
+            p0, stacked, st.kf_rays, st.est_c2w, free,
+            jnp.asarray(pk), jnp.asarray(pm1), jnp.asarray(pm2),
+            jnp.asarray(pair_valid, jnp.float32),
+            jnp.asarray(kf_frames), self._next_key())
         new_anchors = qt_to_matrix(p["rot"], p["trans"])
         first_kfs = np.asarray(st.localMLP_first_kf)[:used]
         upd = jnp.where(np.asarray(free)[:used, None, None],
@@ -1040,6 +1111,12 @@ class MIPSFusionTPU:
         save_ckpt(ckpt_dir, self.state, self.submap_params,
                   extra={"active_id": self.active_id})
         return ckpt_dir
+
+    def request_mesh(self, frame_id: int) -> None:
+        """Request a mid-run mesh extraction; honored by run() at the
+        next frame boundary (the reference's mesh_flag protocol,
+        ref mipsfusion.py:117 / InactiveMap.py:526-529)."""
+        self._mesh_request = int(frame_id)
 
     def extract_mesh(self, path: str = None, joint: bool = True,
                      voxel_size: float = None):
@@ -1138,6 +1215,11 @@ class MIPSFusionTPU:
                 elif flag == 1:
                     self.active_submap_switch(frame, i, kf_id)
                     self.local_ba_switch(frame, kf_id, i)
+                    # the reference defers global BA to the background
+                    # process via the do_globalBA flag (ref
+                    # mipsfusion.py:706 -> InactiveMap.py:531-533); in
+                    # this sequenced architecture the deferral is
+                    # re-expressed as an inline call at the same event
                     self.global_ba()
                 # refresh the host binding mirror from the manager's own
                 # host-side record (saves a device readback per keyframe)
@@ -1146,16 +1228,13 @@ class MIPSFusionTPU:
                     self._host_kf_bind[bkf] = bpair
                     self.manager.last_binding = None
 
-        if self.do_global_ba:
-            self.global_ba()
-            self.do_global_ba = False
-
     def run(self, n_frames: Optional[int] = None, verbose: bool = True,
             start: int = 0):
         n = n_frames or self.dataset.num_frames
         mesh_cfg = self.config.get("mesh", {})
         vis_every = mesh_cfg.get("vis", 0)
         ckpt_every = mesh_cfg.get("ckpt_freq", 0)
+        mesh_every = mesh_cfg.get("mesh_freq", 0)
 
         # background frame prefetch: dataset IO / synthetic rendering
         # overlaps device compute (the reference used DataLoader worker
@@ -1213,6 +1292,18 @@ class MIPSFusionTPU:
             if (self.output_dir and ckpt_every and i > 0
                     and i % ckpt_every == 0):
                 self.save_checkpoint(str(i))
+            # in-loop meshing: on-demand request_mesh() or mesh_freq
+            # cadence (ref InactiveMap.py:526-529 mesh_flag)
+            if mesh_every and i > 0 and i % mesh_every == 0:
+                self._mesh_request = i
+            if self._mesh_request is not None and self.output_dir:
+                mid = self._mesh_request
+                self._mesh_request = None
+                try:
+                    self.extract_mesh(os.path.join(self.output_dir,
+                                                   f"mesh_{mid}.ply"))
+                except Exception as e:  # meshing must not kill the run
+                    print(f"in-loop mesh extraction failed: {e}")
         elapsed = time.time() - t_start
         results = self.evaluate(n - 1)
         results["fps"] = (n - start) / elapsed

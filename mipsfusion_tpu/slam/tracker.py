@@ -179,6 +179,8 @@ class GOConfig:
     ignore_edge_w: int = 20
     ignore_edge_h: int = 20
     best: bool = True
+    wait_iters: int = 100   # early stop after this many non-improving
+                            # iters (ref mipsfusion.py:552, config :62)
 
     @staticmethod
     def from_dict(cfg: dict) -> "GOConfig":
@@ -187,7 +189,8 @@ class GOConfig:
                         lr_rot=t["lr_rot"], lr_trans=t["lr_trans"],
                         ignore_edge_w=t["ignore_edge_W"],
                         ignore_edge_h=t["ignore_edge_H"],
-                        best=bool(t["best"]))
+                        best=bool(t["best"]),
+                        wait_iters=int(t.get("wait_iters", 100)))
 
 
 def _pose_optim(gcfg: GOConfig):
@@ -207,7 +210,12 @@ def go_optimize(field_params: Dict, fcfg: sr.FieldConfig,
     Mirrors the GO stage of tracking_render (ref mipsfusion.py:490-563):
     pose = (quat, trans) optimized by Adam; the loss BEFORE each update
     competes for the best pose; EMD classification terms are disabled
-    during tracking (EMD_w=0, ref :533). Returns (pose [4,4], best loss).
+    during tracking (EMD_w=0, ref :533). Early stop: after
+    ``wait_iters`` consecutive non-improving iterations the loop exits
+    WITHOUT applying that iteration's update (ref :541-556 — thresh
+    resets to 0 on improvement, the break precedes loss.backward()).
+    The loop is a lax.while_loop, so the stop decision stays on device
+    — no per-iteration host sync. Returns (pose [4,4], best loss).
     """
     quat0 = matrix_to_quaternion(initial_pose[:3, :3])
     params0 = {"rot": quat0, "trans": initial_pose[:3, 3]}
@@ -223,20 +231,36 @@ def go_optimize(field_params: Dict, fcfg: sr.FieldConfig,
                                 emd_w=0.0)
         return sr.total_loss(ret, lw)
 
-    def step(carry, k):
-        p, opt_state, best_loss, best_p = carry
-        loss, g = jax.value_and_grad(loss_fn)(p, k)
+    keys = jax.random.split(key, max(n_iters, 1))
+
+    def cond(carry):
+        i, _, _, _, _, thresh = carry
+        return (i < n_iters) & (thresh <= gcfg.wait_iters)
+
+    def body(carry):
+        i, p, opt_state, best_loss, best_p, thresh = carry
+        loss, g = jax.value_and_grad(loss_fn)(p, keys[i])
         improved = loss < best_loss
         best_loss = jnp.where(improved, loss, best_loss)
         best_p = jax.tree.map(
             lambda bp, cp: jnp.where(improved, cp, bp), best_p, p)
-        updates, opt_state = opt.update(g, opt_state, p)
-        p = optax.apply_updates(p, updates)
-        return (p, opt_state, best_loss, best_p), loss
+        # iter 0 seeds best_sdf_loss and counts as non-improving in the
+        # reference (ref :536-550: best is set to the first loss, then
+        # loss < best is False), hence the (i > 0) guard
+        thresh = jnp.where(improved & (i > 0), 0, thresh + 1)
+        # the reference breaks BEFORE stepping once patience runs out
+        do = thresh <= gcfg.wait_iters
+        updates, new_state = opt.update(g, opt_state, p)
+        p = jax.tree.map(lambda a, u: jnp.where(do, a + u, a), p, updates)
+        opt_state = jax.tree.map(
+            lambda nn, oo: jnp.where(do, nn, oo), new_state, opt_state)
+        return i + 1, p, opt_state, best_loss, best_p, thresh
 
-    keys = jax.random.split(key, n_iters)
-    (p_last, _, best_loss, best_p), _ = jax.lax.scan(
-        step, (params0, opt_state0, jnp.inf, params0), keys)
+    _, p_last, _, best_loss, best_p, _ = jax.lax.while_loop(
+        cond, body,
+        (jnp.asarray(0, jnp.int32), params0, opt_state0,
+         jnp.asarray(jnp.inf, jnp.float32), params0,
+         jnp.asarray(0, jnp.int32)))
 
     p_final = best_p if gcfg.best else p_last
     return qt_to_matrix(p_final["rot"], p_final["trans"]), best_loss

@@ -144,3 +144,34 @@ def test_recon_metrics_on_synthetic_run():
     # the camera sees only part of the room in 14 frames; completion is
     # partial but must be nonzero
     assert metrics["mesh_completion@5cm"] > 0.05, metrics
+
+
+def test_ply_roundtrip_and_concat(tmp_path):
+    """save_mesh_ply <-> load_mesh_ply round trip + clip concatenation
+    (vis/mesh_concat.py's core, ref vis/mesh_concat.py)."""
+    from mipsfusion_tpu.mesher.mesher import (concat_meshes, load_mesh_ply,
+                                              save_mesh_ply)
+
+    rng = np.random.default_rng(0)
+    v1 = rng.uniform(-1, 1, (10, 3)).astype(np.float32)
+    f1 = np.asarray([[0, 1, 2], [3, 4, 5]], np.int32)
+    c1 = rng.uniform(0, 1, (10, 3)).astype(np.float32)
+    v2 = rng.uniform(2, 3, (6, 3)).astype(np.float32)
+    f2 = np.asarray([[0, 2, 4]], np.int32)
+
+    p1, p2 = str(tmp_path / "clip_0.ply"), str(tmp_path / "clip_1.ply")
+    save_mesh_ply(p1, v1, f1, c1)
+    save_mesh_ply(p2, v2, f2, None)
+
+    rv1, rf1, rc1 = load_mesh_ply(p1)
+    assert np.allclose(rv1, v1, atol=1e-4)
+    assert np.array_equal(rf1, f1)
+    assert rc1 is not None and np.allclose(rc1, c1, atol=1 / 255.0)
+    rv2, rf2, rc2 = load_mesh_ply(p2)
+    assert rc2 is None and np.array_equal(rf2, f2)
+
+    verts, faces, colors = concat_meshes([(rv1, rf1, rc1), (rv2, rf2, rc2)])
+    assert len(verts) == 16 and len(faces) == 3
+    # second clip's faces are offset by the first clip's vertex count
+    assert np.array_equal(faces[2], f2[0] + 10)
+    assert colors is not None and len(colors) == 16

@@ -26,7 +26,7 @@ def corridor_cfg(n_frames=45, sharded=True):
     cfg["mapping"]["keyframe_every"] = 10
     cfg["mapping"]["localMLP_max_len"] = [2.0, 2.0, 2.0]
     cfg["mapping"]["min_cr_localMLP_len"] = [1.8, 1.8, 1.8]
-    cfg["parallel"] = {"sharded_refine": sharded}
+    cfg["parallel"] = {"sharded_refine": sharded, "dp_hot_path": False}
     return cfg
 
 

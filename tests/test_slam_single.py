@@ -23,9 +23,10 @@ def tiny_config(n_frames=24):
         "seed": 0,
         "use_manager": False,
         # the virtual 8-device CPU mesh shares physical cores, so the
-        # sharded refine path (8x the refine work per step) only slows
-        # CPU tests; tests/test_sharded_refine.py opts in explicitly
-        "parallel": {"sharded_refine": False},
+        # sharded refine / DP hot paths only slow CPU tests;
+        # tests/test_sharded_refine.py and tests/test_sharded_ba.py opt
+        # in explicitly
+        "parallel": {"sharded_refine": False, "dp_hot_path": False},
         "synthetic": {"trajectory": "orbit", "n_frames": n_frames,
                       "span": n_frames / 200.0,
                       "room_half": [3.0, 2.2, 2.5]},
