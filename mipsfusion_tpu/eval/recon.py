@@ -50,14 +50,16 @@ def depth_l1(pred_depth: np.ndarray, gt_depth: np.ndarray) -> float:
 
 
 def evaluate_synthetic_mesh(slam, n_gt_samples: int = 20000,
-                            seed: int = 0) -> Dict[str, float]:
+                            seed: int = 0, verts=None) -> Dict[str, float]:
     """Mesh accuracy/completion against the synthetic dataset's analytic
-    SDF (only valid for SyntheticDataset runs)."""
+    SDF (only valid for SyntheticDataset runs). Pass ``verts`` to score
+    an already-extracted mesh instead of re-extracting."""
     import jax.numpy as jnp
     from ..datasets.synthetic import scene_sdf
 
     room_half = slam.dataset.room_half
-    verts, faces, _ = slam.extract_mesh(joint=True)
+    if verts is None:
+        verts, _faces, _ = slam.extract_mesh(joint=True)
 
     def sdf_fn(pts):
         return np.asarray(scene_sdf(jnp.asarray(pts, jnp.float32),

@@ -64,6 +64,9 @@ class FieldConfig:
     rgb_missing: float = 0.0
     norm_factor: float = 1.0
     use_bound_normalize: bool = True
+    # z-merge strategy: closed-form two-sorted-merge vs jnp.sort
+    # (numerically identical; chosen per backend by measurement)
+    z_merge: bool = True
 
     @property
     def n_samples_total(self) -> int:
@@ -254,6 +257,37 @@ def raw2outputs(raw: jnp.ndarray, z_vals: jnp.ndarray, cfg: FieldConfig):
     return rgb_map, disp_map, acc_map, weights, depth_map, depth_var
 
 
+def _merge_sorted_z(z_samples: jnp.ndarray,
+                    z_uniform: jnp.ndarray) -> jnp.ndarray:
+    """Merge two per-ray SORTED z sequences without a bitonic sort.
+
+    Each element's merged rank is its own index plus the count of the
+    other sequence below it; both counts come from ONE pairwise
+    comparison tensor (per pair exactly one of ``a < b`` / ``b <= a``
+    holds, so the ranks form a permutation by construction — no
+    floating-point tie hazards). O(n1*n2) elementwise work replaces
+    XLA's O(M log^2 M) cross-lane sorting network, which profiled at a
+    large share of per-iteration BA/GO time at the reference's
+    75-sample budget.
+    """
+    n, n1 = z_samples.shape
+    n2 = z_uniform.shape[-1]
+    # C[r, i, j] = (a_j < b_i)
+    C = z_samples[:, None, :] < z_uniform[:, :, None]      # [N, n2, n1]
+    cnt_for_b = jnp.sum(C, axis=2)                         # #{j: a_j < b_i}
+    cnt_for_a = n2 - jnp.sum(C, axis=1)                    # #{i: b_i <= a_j}
+    rank_a = jnp.arange(n1)[None, :] + cnt_for_a
+    rank_b = jnp.arange(n2)[None, :] + cnt_for_b
+
+    ranks = jnp.concatenate([rank_a, rank_b], axis=-1)     # [N, M] perm
+    vals = jnp.concatenate([z_samples, z_uniform], axis=-1)
+    # materialize the permutation as a one-hot contraction (a scatter
+    # serializes on TPU; this is a tiny batched matmul instead)
+    M = ranks.shape[-1]
+    onehot = (ranks[..., None] == jnp.arange(M)[None, None, :])
+    return jnp.einsum("nj,njk->nk", vals, onehot.astype(vals.dtype))
+
+
 def sample_z_vals(key: jax.Array, target_d: jnp.ndarray,
                   cfg: FieldConfig) -> jnp.ndarray:
     """Depth-guided + uniform z sampling with stratified perturbation.
@@ -264,14 +298,18 @@ def sample_z_vals(key: jax.Array, target_d: jnp.ndarray,
     z_near = jnp.linspace(-cfg.range_d, cfg.range_d, cfg.n_range_d)
     z_samples = z_near[None, :] + target_d                       # [N, n_range_d]
     z_fallback = jnp.linspace(cfg.near, cfg.far, cfg.n_range_d)
-    z_samples = jnp.where(target_d > 0.0, z_samples, z_fallback[None, :])
+    valid = target_d > 0.0
+    z_samples = jnp.where(valid, z_samples, z_fallback[None, :])
 
     if cfg.n_samples_d > 0:
         z_uniform = jnp.broadcast_to(
             jnp.linspace(cfg.near, cfg.far, cfg.n_samples_d),
             (n, cfg.n_samples_d))
-        z_vals = jnp.sort(jnp.concatenate([z_uniform, z_samples], axis=-1),
-                          axis=-1)
+        if cfg.z_merge:
+            z_vals = _merge_sorted_z(z_samples, z_uniform)
+        else:
+            z_vals = jnp.sort(
+                jnp.concatenate([z_uniform, z_samples], axis=-1), axis=-1)
     else:
         z_vals = z_samples
 

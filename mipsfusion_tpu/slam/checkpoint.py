@@ -44,7 +44,7 @@ def _unflatten_params(flat: Dict[str, np.ndarray]) -> Dict:
 
 def save_ckpt(ckpt_dir: str, state: SlamState,
               submap_params: List[Optional[Dict]],
-              extra: Optional[Dict] = None) -> None:
+              extra: Optional[Dict] = None, opt_state=None) -> None:
     os.makedirs(ckpt_dir, exist_ok=True)
     for i, params in enumerate(submap_params):
         if params is None:
@@ -57,6 +57,30 @@ def save_ckpt(ckpt_dir: str, state: SlamState,
         tensors.update({f"extra/{k}": np.asarray(v)
                         for k, v in extra.items()})
     np.savez_compressed(os.path.join(ckpt_dir, "ckpt.npz"), **tensors)
+    if opt_state is not None:
+        # the active submap's Adam state, saved as ordered tree leaves
+        # (restored against a freshly-initialized state's treedef —
+        # beyond the reference, whose checkpoints drop optimizer state)
+        leaves = [np.asarray(l) for l in jax.tree.leaves(opt_state)]
+        np.savez_compressed(
+            os.path.join(ckpt_dir, "opt_state.npz"),
+            **{f"leaf_{j}": l for j, l in enumerate(leaves)})
+
+
+def load_opt_state(ckpt_dir: str, template):
+    """Restore an optimizer state saved by save_ckpt against a
+    freshly-initialized ``template`` (same optimizer, same params).
+    Returns None when absent or structurally incompatible."""
+    path = os.path.join(ckpt_dir, "opt_state.npz")
+    if not os.path.exists(path):
+        return None
+    data = np.load(path)
+    leaves = [jnp.asarray(data[f"leaf_{j}"]) for j in range(len(data.files))]
+    t_leaves, treedef = jax.tree.flatten(template)
+    if len(leaves) != len(t_leaves) or any(
+            l.shape != t.shape for l, t in zip(leaves, t_leaves)):
+        return None
+    return jax.tree.unflatten(treedef, leaves)
 
 
 def load_ckpt(ckpt_dir: str) -> Tuple[SlamState, List[Optional[Dict]], Dict]:

@@ -131,6 +131,7 @@ class MIPSFusionTPU:
         self.sw_align_threshold = sw.get("align_threshold", 0.05)
         self.sw_min_corr = sw.get("min_correspondence", 2000)
         self.sw_min_trans = sw.get("min_trans_dist", 0.5)
+        self.sw_including_last = int(sw.get("including_last", 0))
         self.sw_map_num = sw.get("map_num", 15)
         self.sw_lr_rot = sw.get("lr_rot", 0.001)
         self.sw_lr_trans = sw.get("lr_trans", 0.001)
@@ -706,6 +707,33 @@ class MIPSFusionTPU:
         src_pts = pose_local_ini[:3, 3] + dirs_w * d
         src_valid = d[:, 0] > 0
 
+        # including_last: merge the last N keyframes' stored clouds into
+        # the ICP source (ref PoseCorrector.py:137-148 — their local
+        # poses in the PREV submap converted into mo_id's frame through
+        # both anchors: aft^-1 @ prev @ pose_prev_local)
+        n_incl = self.sw_including_last
+        if n_incl > 0:
+            cur_kf = cur_frame // self.keyframe_every
+            prev_locals = self._extract_poses_jit(st, active_id)
+            rel_anchor = _mm(pose_inverse(anchor_aft), anchor_prev)
+            sub_r = jnp.asarray(np.linspace(
+                0, R - 1, self.icp_src_n).astype(np.int32))
+            extra_pts, extra_valid = [], []
+            for j in range(1, n_incl + 1):
+                k = cur_kf - j
+                if k < 0:
+                    continue
+                pose_aft = _mm(rel_anchor, prev_locals[k])
+                rays_k = st.kf_rays[k][sub_r]
+                dk = rays_k[:, 6:7]
+                dirs_k = rays_k[:, :3] @ pose_aft[:3, :3].T
+                extra_pts.append(pose_aft[:3, 3] + dirs_k * dk)
+                extra_valid.append(dk[:, 0] > 0)
+            if extra_pts:
+                src_pts = jnp.concatenate([src_pts] + extra_pts, axis=0)
+                src_valid = jnp.concatenate([src_valid] + extra_valid,
+                                            axis=0)
+
         normals = icp_mod.estimate_normals(dst_pts, k=10)
         res = icp_mod.icp_point_to_plane(
             src_pts, src_valid, dst_pts, dst_valid, normals,
@@ -1082,13 +1110,11 @@ class MIPSFusionTPU:
 
         The reference only reloads checkpoints for offline meshing
         (ref vis/render_mesh.py:58-77 — no mid-sequence resume); here a
-        run can continue from any periodic checkpoint. Adam moments of
-        the active submap are re-initialized on resume (the checkpoint
-        stores fields + SLAM state, not optimizer state) — a fresh
-        optimizer matches the reference's per-call optimizer creation
-        but briefly re-warms the learning-rate adaptation.
+        run can continue from any periodic checkpoint, and the active
+        submap's Adam moments are restored too (older checkpoints
+        without opt_state.npz fall back to a fresh optimizer).
         """
-        from .checkpoint import load_ckpt
+        from .checkpoint import load_ckpt, load_opt_state
         state, submap_params, extra = load_ckpt(ckpt_dir)
         self.state = state
         for i, p in enumerate(submap_params):
@@ -1096,8 +1122,8 @@ class MIPSFusionTPU:
                 self.submap_params[i] = p
         self.active_id = int(extra.get("active_id",
                                        int(state.active_submap_id)))
-        self.map_opt_state = self.map_opt.init(
-            self.submap_params[self.active_id])
+        fresh = self.map_opt.init(self.submap_params[self.active_id])
+        self.map_opt_state = load_opt_state(ckpt_dir, fresh) or fresh
         n_kf = int(state.n_kf)
         last_frame = int(state.kf_frame_ids[n_kf - 1]) if n_kf else 0
         self.last_switch_frame = int(state.last_switch_frame)
@@ -1109,7 +1135,8 @@ class MIPSFusionTPU:
         from .checkpoint import save_ckpt
         ckpt_dir = os.path.join(self.output_dir, f"ckpt_{tag}")
         save_ckpt(ckpt_dir, self.state, self.submap_params,
-                  extra={"active_id": self.active_id})
+                  extra={"active_id": self.active_id},
+                  opt_state=self.map_opt_state)
         return ckpt_dir
 
     def request_mesh(self, frame_id: int) -> None:

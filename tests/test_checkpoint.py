@@ -61,3 +61,39 @@ def test_mid_sequence_resume(tmp_path):
 
     results = slam2.run(n_frames=18, verbose=False, start=start)
     assert results["absolute_translational_error.rmse"] < 0.08, results
+
+
+def test_opt_state_roundtrip(tmp_path):
+    """Adam moments survive the checkpoint: the restored optimizer state
+    equals the saved one leaf-for-leaf (the reference's checkpoints drop
+    optimizer state entirely, ref Logger.py:42-69)."""
+    import jax
+    import optax
+    from mipsfusion_tpu.slam import state as slam_state
+    from mipsfusion_tpu.slam.checkpoint import load_opt_state
+
+    cap = slam_state.StateCapacity(n_frames=10, n_keyframes=4,
+                                   n_submaps=2, rays_per_kf=8,
+                                   kf_rays_h=2, kf_rays_w=4)
+    st = slam_state.init_state(cap, [2.0, 2.0, 2.0])
+    params = {"planes": {"s0": jnp.ones((3, 4, 4, 2))},
+              "decoder": {"w": jnp.arange(6.0).reshape(2, 3)}}
+    opt = optax.adam(1e-2)
+    opt_state = opt.init(params)
+    # take two steps so mu/nu are non-trivial
+    for _ in range(2):
+        g = jax.tree.map(jnp.ones_like, params)
+        upd, opt_state = opt.update(g, opt_state, params)
+        params = optax.apply_updates(params, upd)
+
+    save_ckpt(str(tmp_path / "ck"), st, [params, None],
+              opt_state=opt_state)
+    template = opt.init(params)
+    restored = load_opt_state(str(tmp_path / "ck"), template)
+    assert restored is not None
+    for a, b in zip(jax.tree.leaves(opt_state), jax.tree.leaves(restored)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+    # structurally incompatible template -> clean None (fresh fallback)
+    other = optax.adam(1e-2).init({"x": jnp.ones((5,))})
+    assert load_opt_state(str(tmp_path / "ck"), other) is None

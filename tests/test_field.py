@@ -265,3 +265,31 @@ def test_triplane_gradient_is_interp_weights():
                                atol=1e-5)
     # and be concentrated on <= 4 cells per plane
     assert (np.abs(gp[0]) > 1e-8).sum() <= 4
+
+
+def test_merge_sorted_z_equals_sort():
+    """The closed-form two-sorted-merge must reproduce jnp.sort exactly,
+    including exact-tie cases (invalid-depth fallback rows where both
+    sequences share endpoints / coincident interior values)."""
+    from mipsfusion_tpu.models.scene_rep import _merge_sorted_z
+
+    rng = np.random.default_rng(0)
+    n, n1, n2 = 64, 21, 54
+    near, far = 0.0, 5.0
+    d = rng.uniform(0.3, 4.5, (n, 1)).astype(np.float32)
+    a = (np.linspace(-0.25, 0.25, n1, dtype=np.float32)[None] + d)
+    # rows with exact collisions: fallback linspace identical ranges
+    a[:8] = np.linspace(near, far, n1, dtype=np.float32)
+    b = np.broadcast_to(np.linspace(near, far, n2, dtype=np.float32),
+                        (n, n2)).copy()
+    # a divisible-grid case with many exact interior ties
+    a[8] = np.linspace(near, far, n1, dtype=np.float32)
+    merged = np.asarray(_merge_sorted_z(jnp.asarray(a), jnp.asarray(b)))
+    ref = np.sort(np.concatenate([a, b], axis=-1), axis=-1)
+    np.testing.assert_array_equal(merged, ref)
+
+    # degenerate n1=1 window
+    a1 = d.astype(np.float32)
+    merged1 = np.asarray(_merge_sorted_z(jnp.asarray(a1), jnp.asarray(b)))
+    ref1 = np.sort(np.concatenate([a1, b], axis=-1), axis=-1)
+    np.testing.assert_array_equal(merged1, ref1)

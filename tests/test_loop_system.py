@@ -87,3 +87,56 @@ def test_global_ba_keeps_anchors_valid(loop_run):
         assert np.isfinite(A).all()
         np.testing.assert_allclose(A[:3, :3] @ A[:3, :3].T, np.eye(3),
                                    atol=1e-3)
+
+
+def test_including_last_grows_icp_source(loop_run):
+    """including_last > 0 merges the last N keyframes' stored clouds
+    into the ICP source (ref PoseCorrector.py:137-148): with the same
+    overlap candidate, the correspondence count must not shrink and —
+    when the overlap verifies — strictly grow."""
+    slam, _ = loop_run
+    st = slam.state
+    used = int(np.asarray(st.localMLP_info[:, 0]).sum())
+    if used < 2:
+        pytest.skip("trajectory produced a single submap on this config")
+
+    last = 59
+    f = slam.dataset[last]
+    depth = jnp.asarray(f["depth"])
+    dirs = jnp.asarray(f["direction"])
+    pose_world = jnp.asarray(f["c2w"])
+    slam._last_tracked_frame = last
+    active = int(st.active_submap_id)
+    mo = 0 if active != 0 else 1
+
+    caught = {}
+    orig = slam._switch_pose_rectifying
+
+    def spy(st_, mo_, act_, ids_, vis_, depth_, rays_):
+        ok, n, pose = orig(st_, mo_, act_, ids_, vis_, depth_, rays_)
+        caught["n"] = n
+        caught["pose"] = pose
+        return ok, n, pose
+
+    slam._switch_pose_rectifying = spy
+    try:
+        slam.sw_including_last = 0
+        ok0, _ = slam._find_overlapping_region(mo, active, st, depth,
+                                               dirs, pose_world)
+        n0 = caught.pop("n", None)
+        slam.sw_including_last = 2
+        ok2, _ = slam._find_overlapping_region(mo, active, st, depth,
+                                               dirs, pose_world)
+        n2 = caught.pop("n", None)
+    finally:
+        slam._switch_pose_rectifying = orig
+        slam.sw_including_last = 0
+
+    if n0 is None or n2 is None:
+        pytest.skip("overlap pre-checks declined before ICP on this state")
+    # the merged source has 3x the points aimed at the same target
+    assert n2 >= n0
+    if ok0 and ok2:
+        assert n2 > n0, (n0, n2)
+        R = np.asarray(caught["pose"])[:3, :3]
+        np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-3)
