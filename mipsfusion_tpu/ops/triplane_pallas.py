@@ -43,8 +43,11 @@ from jax.experimental.pallas import tpu as pltpu
 import os as _os
 _INTERPRET = bool(_os.environ.get("MIPS_PALLAS_INTERPRET"))
 
-BLOCK_N = 1024      # points per kernel instance (fwd / plane-bwd)
-BLOCK_N_UV = 512    # x-backward holds more live intermediates
+import os as _os
+# points per kernel instance (fwd / plane-bwd); env-overridable for
+# block-size tuning experiments (tools/ab_encoding.py workflow)
+BLOCK_N = int(_os.environ.get("MIPS_BLOCK_N", 1024))
+BLOCK_N_UV = int(_os.environ.get("MIPS_BLOCK_N_UV", 512))
 
 
 def _onehotT(iota_rb, i0, w, dtype):

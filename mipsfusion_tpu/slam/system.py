@@ -1342,8 +1342,17 @@ class MIPSFusionTPU:
             self.save_checkpoint("final")
             if self.config.get("mesh", {}).get("extract_final", True):
                 try:
-                    self.extract_mesh(os.path.join(self.output_dir,
-                                                   "mesh_final.ply"))
+                    verts, _faces, _ = self.extract_mesh(
+                        os.path.join(self.output_dir, "mesh_final.ply"))
+                    # mesh quality tracked alongside ATE when GT is
+                    # analytic (synthetic scenes; C-L1-style accuracy +
+                    # completion, SURVEY §6 / eval/recon.py)
+                    if hasattr(self.dataset, "room_half") and len(verts):
+                        from ..eval.recon import evaluate_synthetic_mesh
+                        m = evaluate_synthetic_mesh(self, verts=verts)
+                        results["mesh_accuracy_m"] = m["mesh_accuracy_m"]
+                        results["mesh_completion@5cm"] = \
+                            m["mesh_completion@5cm"]
                 except Exception as e:  # meshing must not kill the run
                     print(f"final mesh extraction failed: {e}")
         return results

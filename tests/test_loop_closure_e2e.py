@@ -26,7 +26,7 @@ from test_slam_single import tiny_config
 pytestmark = pytest.mark.slow
 
 
-def loop_config(n_frames=200):
+def loop_config(n_frames=220):
     cfg = tiny_config(n_frames)
     cfg["use_manager"] = True
     cfg["synthetic"] = {"trajectory": "outback", "n_frames": n_frames,
@@ -38,6 +38,13 @@ def loop_config(n_frames=200):
     cfg["mapping"]["min_containing_ratio"] = 0.75
     cfg["mapping"]["min_containing_ratio_mo"] = 0.6
     cfg["mapping"]["min_containing_ratio_back"] = 0.5
+    # robustness to +-1-keyframe shifts in submap allocation (the
+    # decisions are threshold crossings; tiny numeric drift moves them
+    # by a keyframe): capacity headroom for an extra return-leg submap,
+    # and a short forced-tracking window so a late msg3 cannot lock out
+    # the switch-back for the remainder of the sequence
+    cfg["mapping"]["localMLP_num"] = 6
+    cfg["tracking"]["switch_interval"] = 12
     # thresholds scaled to the tiny keyframe store (30x40 rays):
     # the reference's min_correspondence=2000 assumes 150x200=30k rays
     cfg["mapping"]["overlapping"] = {"n_rays_h": 12, "n_rays_w": 16,

@@ -81,8 +81,9 @@ def slam_run():
 
 def test_trajectory_accuracy(slam_run):
     _, results = slam_run
-    # tiny budgets, but the synthetic orbit is easy: demand < 6 cm RMSE
-    assert results["absolute_translational_error.rmse"] < 0.06, results
+    # tiny budgets, but the synthetic orbit is easy and tracks at
+    # millimeters — 2 cm leaves generous noise headroom while binding
+    assert results["absolute_translational_error.rmse"] < 0.02, results
 
 
 def test_tracking_losses_decrease(slam_run):
