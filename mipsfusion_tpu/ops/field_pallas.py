@@ -42,7 +42,7 @@ import os as _os
 _INTERPRET = bool(_os.environ.get("MIPS_PALLAS_INTERPRET"))
 
 from .triplane_pallas import (BLOCK_N, _coords, _flat_planes, _onehotT,
-                              _onehotT_diff, _pad_n, _plane_uv, _s, _sT)
+                              _pad_n, _plane_uv, _s, _sT)
 
 # output row layout of the full query (matches decoder_apply's column
 # layout: rgb(3), sdf(1), entropy(1), prob(n_class)); padded to 16 rows
@@ -86,16 +86,16 @@ def _make_field_kernel(resolutions: Sequence[int], F: int, n_freq: int,
         embeds = []
         for si, R in enumerate(resolutions):
             RF = R * F
-            iota_rb = jax.lax.broadcasted_iota(jnp.int32, (R, B), 0)
-            iota_rfb = jax.lax.broadcasted_iota(jnp.int32, (RF, B), 0) // F
+            iota_rb = jax.lax.broadcasted_iota(
+                jnp.int32, (R, B), 0).astype(f32)
+            iota_rfb = (jax.lax.broadcasted_iota(jnp.int32, (RF, B), 0)
+                        // F).astype(f32)
             ST = _sT(F, RF, jnp.bfloat16)
             acc = jnp.zeros((F, B), f32)
             for p in range(3):
                 u, v = _plane_uv(xT_ref, p)
-                iu, wu = _coords(u, R)
-                iv, wv = _coords(v, R)
-                WuT = _onehotT(iota_rb, iu, wu, jnp.bfloat16)
-                WvT = _onehotT(iota_rfb, iv, wv, jnp.bfloat16)
+                WuT = _onehotT(iota_rb, _coords(u, R), jnp.bfloat16)
+                WvT = _onehotT(iota_rfb, _coords(v, R), jnp.bfloat16)
                 P = plane_refs[si][p]
                 AT = jax.lax.dot_general(
                     P, WuT, (((0,), (0,)), ((), ())),
@@ -107,11 +107,12 @@ def _make_field_kernel(resolutions: Sequence[int], F: int, n_freq: int,
             embeds.append(acc)
         if has_cp:
             Rcp = cp_ref.shape[1]
-            iota_cp = jax.lax.broadcasted_iota(jnp.int32, (Rcp, B), 0)
+            iota_cp = jax.lax.broadcasted_iota(
+                jnp.int32, (Rcp, B), 0).astype(f32)
             fs = []
             for a in range(3):
-                ia, wa = _coords(xT_ref[a:a + 1], Rcp)
-                WT = _onehotT(iota_cp, ia, wa, jnp.bfloat16)
+                pa = _coords(xT_ref[a:a + 1], Rcp)
+                WT = _onehotT(iota_cp, pa, jnp.bfloat16)
                 fs.append(jax.lax.dot_general(
                     cp_ref[a], WT, (((0,), (0,)), ((), ())),
                     preferred_element_type=f32))     # [C, B]

@@ -50,17 +50,23 @@ BLOCK_N = int(_os.environ.get("MIPS_BLOCK_N", 1024))
 BLOCK_N_UV = int(_os.environ.get("MIPS_BLOCK_N_UV", 512))
 
 
-def _onehotT(iota_rb, i0, w, dtype):
-    """Transposed 2-sparse interp matrix [R, B]: (1-w) at row i0, w at
-    row i0+1. i0, w are [1, B] rows."""
-    d0 = (iota_rb == i0).astype(dtype)
-    d1 = (iota_rb == i0 + 1).astype(dtype)
-    return d0 * (1.0 - w).astype(dtype) + d1 * w.astype(dtype)
+def _onehotT(iota_f, pu, dtype):
+    """Transposed 2-sparse interp matrix [R, B] as a tent function:
+    max(0, 1 - |r - pu|) is (1-frac) at row floor(pu), frac at the next
+    row, 0 elsewhere — identical values to the compare-and-blend
+    construction but 4 VPU ops per entry instead of 7 (the one-hot
+    build is a measurable slice of the fused-kernel time; see the
+    per-stage table in BASELINE.md). ``iota_f`` is a float32 row-index
+    iota, ``pu`` the continuous (clipped) grid coordinate [1, B]."""
+    return jnp.maximum(1.0 - jnp.abs(iota_f - pu), 0.0).astype(dtype)
 
 
-def _onehotT_diff(iota_rb, i0, dtype):
-    return ((iota_rb == i0 + 1).astype(dtype)
-            - (iota_rb == i0).astype(dtype))
+def _onehotT_diff(iota_f, pu, dtype):
+    """d/dpu of the interp matrix: -1 at row floor(pu), +1 at the next
+    row (float equality on exact small integers is exact)."""
+    i0 = jnp.floor(pu)
+    return ((iota_f == i0 + 1.0).astype(dtype)
+            - (iota_f == i0).astype(dtype))
 
 
 def _s(RF: int, F: int, dtype):
@@ -86,9 +92,8 @@ def _plane_uv(xT_ref, p: int):
 
 
 def _coords(u, R: int):
-    pu = jnp.clip(u * (R - 1), 0.0, R - 1 - 1e-6)
-    i0 = jnp.floor(pu)
-    return i0.astype(jnp.int32), pu - i0
+    """Continuous (clipped) grid coordinate pu [1, B] in f32."""
+    return jnp.clip(u * (R - 1), 0.0, R - 1 - 1e-6)
 
 
 # ---------------------------------------------------------------------------
@@ -107,16 +112,16 @@ def _make_fwd_kernel(resolutions: Sequence[int], F: int, has_cp: bool):
 
         for si, R in enumerate(resolutions):
             RF = R * F
-            iota_rb = jax.lax.broadcasted_iota(jnp.int32, (R, B), 0)
-            iota_rfb = jax.lax.broadcasted_iota(jnp.int32, (RF, B), 0) // F
+            iota_rb = jax.lax.broadcasted_iota(
+                jnp.int32, (R, B), 0).astype(jnp.float32)
+            iota_rfb = (jax.lax.broadcasted_iota(jnp.int32, (RF, B), 0)
+                        // F).astype(jnp.float32)
             ST = _sT(F, RF, jnp.bfloat16)
             acc = jnp.zeros((F, B), jnp.float32)
             for p in range(3):
                 u, v = _plane_uv(xT_ref, p)
-                iu, wu = _coords(u, R)
-                iv, wv = _coords(v, R)
-                WuT = _onehotT(iota_rb, iu, wu, jnp.bfloat16)
-                WvT = _onehotT(iota_rfb, iv, wv, jnp.bfloat16)
+                WuT = _onehotT(iota_rb, _coords(u, R), jnp.bfloat16)
+                WvT = _onehotT(iota_rfb, _coords(v, R), jnp.bfloat16)
                 P = plane_refs[si][p]                        # [R, RF] bf16
                 AT = jax.lax.dot_general(
                     P, WuT, (((0,), (0,)), ((), ())),
@@ -130,11 +135,12 @@ def _make_fwd_kernel(resolutions: Sequence[int], F: int, has_cp: bool):
         if has_cp:
             # CP term: elementwise product of three 1D line lookups
             Rcp, C = cp_ref.shape[1], cp_ref.shape[2]
-            iota_cp = jax.lax.broadcasted_iota(jnp.int32, (Rcp, B), 0)
+            iota_cp = jax.lax.broadcasted_iota(
+                jnp.int32, (Rcp, B), 0).astype(jnp.float32)
             fs = []
             for a in range(3):
-                ia, wa = _coords(xT_ref[a:a + 1], Rcp)
-                WT = _onehotT(iota_cp, ia, wa, jnp.bfloat16)
+                pa = _coords(xT_ref[a:a + 1], Rcp)
+                WT = _onehotT(iota_cp, pa, jnp.bfloat16)
                 fs.append(jax.lax.dot_general(
                     cp_ref[a], WT, (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32))     # [C, B]
@@ -190,8 +196,10 @@ def _make_bwd_plane_kernel(resolutions: Sequence[int], F: int,
 
         for si, R in enumerate(resolutions):
             RF = R * F
-            iota_rb = jax.lax.broadcasted_iota(jnp.int32, (R, B), 0)
-            iota_rfb = jax.lax.broadcasted_iota(jnp.int32, (RF, B), 0) // F
+            iota_rb = jax.lax.broadcasted_iota(
+                jnp.int32, (R, B), 0).astype(jnp.float32)
+            iota_rfb = (jax.lax.broadcasted_iota(jnp.int32, (RF, B), 0)
+                        // F).astype(jnp.float32)
             Sx = _s(RF, F, jnp.bfloat16)
             gT = g_ref[si * F:(si + 1) * F, :].astype(jnp.bfloat16)
             g_exp = jax.lax.dot_general(
@@ -199,10 +207,8 @@ def _make_bwd_plane_kernel(resolutions: Sequence[int], F: int,
                 preferred_element_type=jnp.float32)          # [RF, B]
             for p in range(3):
                 u, v = _plane_uv(xT_ref, p)
-                iu, wu = _coords(u, R)
-                iv, wv = _coords(v, R)
-                WuT = _onehotT(iota_rb, iu, wu, jnp.bfloat16)
-                WvT = _onehotT(iota_rfb, iv, wv, jnp.float32)
+                WuT = _onehotT(iota_rb, _coords(u, R), jnp.bfloat16)
+                WvT = _onehotT(iota_rfb, _coords(v, R), jnp.float32)
                 MT = (WvT * g_exp).astype(jnp.bfloat16)      # [RF, B]
                 dP = jax.lax.dot_general(
                     WuT, MT, (((1,), (1,)), ((), ())),
@@ -218,12 +224,13 @@ def _make_bwd_plane_kernel(resolutions: Sequence[int], F: int,
 
         if has_cp:
             Rcp, C = cp_ref.shape[1], cp_ref.shape[2]
-            iota_cp = jax.lax.broadcasted_iota(jnp.int32, (Rcp, B), 0)
+            iota_cp = jax.lax.broadcasted_iota(
+                jnp.int32, (Rcp, B), 0).astype(jnp.float32)
             g_cp = g_ref[S * F:, :]                          # [C, B]
             WTs, fs = [], []
             for a in range(3):
-                ia, wa = _coords(xT_ref[a:a + 1], Rcp)
-                WT = _onehotT(iota_cp, ia, wa, jnp.bfloat16)
+                pa = _coords(xT_ref[a:a + 1], Rcp)
+                WT = _onehotT(iota_cp, pa, jnp.bfloat16)
                 WTs.append(WT)
                 fs.append(jax.lax.dot_general(
                     cp_ref[a], WT, (((0,), (0,)), ((), ())),
@@ -303,8 +310,10 @@ def _make_bwd_x_kernel(resolutions: Sequence[int], F: int, has_cp: bool):
         dz = jnp.zeros((1, B), jnp.float32)
         for si, R in enumerate(resolutions):
             RF = R * F
-            iota_rb = jax.lax.broadcasted_iota(jnp.int32, (R, B), 0)
-            iota_rfb = jax.lax.broadcasted_iota(jnp.int32, (RF, B), 0) // F
+            iota_rb = jax.lax.broadcasted_iota(
+                jnp.int32, (R, B), 0).astype(jnp.float32)
+            iota_rfb = (jax.lax.broadcasted_iota(jnp.int32, (RF, B), 0)
+                        // F).astype(jnp.float32)
             Sx = _s(RF, F, jnp.bfloat16)
             gT = g_ref[si * F:(si + 1) * F, :].astype(jnp.bfloat16)
             g_exp = jax.lax.dot_general(
@@ -313,12 +322,11 @@ def _make_bwd_x_kernel(resolutions: Sequence[int], F: int, has_cp: bool):
             scale = jnp.float32(R - 1)
             for p in range(3):
                 u, v = _plane_uv(xT_ref, p)
-                iu, wu = _coords(u, R)
-                iv, wv = _coords(v, R)
-                WuT = _onehotT(iota_rb, iu, wu, jnp.bfloat16)
-                DuT = _onehotT_diff(iota_rb, iu, jnp.bfloat16)
-                WvT = _onehotT(iota_rfb, iv, wv, jnp.float32)
-                DvT = _onehotT_diff(iota_rfb, iv, jnp.float32)
+                pu, pv = _coords(u, R), _coords(v, R)
+                WuT = _onehotT(iota_rb, pu, jnp.bfloat16)
+                DuT = _onehotT_diff(iota_rb, pu, jnp.bfloat16)
+                WvT = _onehotT(iota_rfb, pv, jnp.float32)
+                DvT = _onehotT_diff(iota_rfb, pv, jnp.float32)
                 P = plane_refs[si][p]
 
                 AduT = jax.lax.dot_general(
@@ -344,13 +352,14 @@ def _make_bwd_x_kernel(resolutions: Sequence[int], F: int, has_cp: bool):
 
         if has_cp:
             Rcp, C = cp_ref.shape[1], cp_ref.shape[2]
-            iota_cp = jax.lax.broadcasted_iota(jnp.int32, (Rcp, B), 0)
+            iota_cp = jax.lax.broadcasted_iota(
+                jnp.int32, (Rcp, B), 0).astype(jnp.float32)
             g_cp = g_ref[S * F:, :]                          # [C, B]
             fs, Ds = [], []
             for a in range(3):
-                ia, wa = _coords(xT_ref[a:a + 1], Rcp)
-                WT = _onehotT(iota_cp, ia, wa, jnp.bfloat16)
-                DT = _onehotT_diff(iota_cp, ia, jnp.bfloat16)
+                pa = _coords(xT_ref[a:a + 1], Rcp)
+                WT = _onehotT(iota_cp, pa, jnp.bfloat16)
+                DT = _onehotT_diff(iota_cp, pa, jnp.bfloat16)
                 fs.append(jax.lax.dot_general(
                     cp_ref[a], WT, (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32))     # [C, B]

@@ -14,19 +14,26 @@ pytestmark = pytest.mark.slow
 
 
 def test_consistency_ba_moves_only_free_anchors():
+    from fixture_cache import cached_run
     n = 40
     cfg = tiny_config(n)
     cfg["use_manager"] = False
-    ds = SyntheticDataset(cfg, n_frames=n, trajectory="orbit",
-                          span=n / 200.0)
-    slam = MIPSFusionTPU(cfg, dataset=ds)
 
-    def frame(i):
-        return {"frame_id": i, "c2w": ds.gt_pose(i)}
+    def make_slam():
+        ds = SyntheticDataset(cfg, n_frames=n, trajectory="orbit",
+                              span=n / 200.0)
+        return MIPSFusionTPU(cfg, dataset=ds)
 
-    slam.first_frame_mapping(frame(0), 60)
-    for i in range(1, 25):
-        slam.process_frame(frame(i), i)
+    def compute(s):
+        def frame(i):
+            return {"frame_id": i, "c2w": s.dataset.gt_pose(i)}
+        s.first_frame_mapping(frame(0), 60)
+        for i in range(1, 25):
+            s.process_frame(frame(i), i)
+        return {}
+
+    slam, _ = cached_run("consistency_ba_warm", cfg, make_slam, compute,
+                         extra_files=(__file__,))
 
     # fabricate a second submap bound to keyframe 2 as an overlap:
     # kf 2 becomes an overlapping keyframe (ref=-2) bound to (0, 1),

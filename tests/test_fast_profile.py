@@ -19,18 +19,24 @@ from test_sharded_refine import corridor_cfg
 pytestmark = pytest.mark.slow
 
 
-def _run(cfg):
+def _run(cfg, tag):
+    from fixture_cache import cached_run
     cfg["mapping"]["first_iters"] = 150
-    ds = SyntheticDataset(cfg, n_frames=cfg["synthetic"]["n_frames"],
-                          trajectory="corridor", span=1.0)
-    slam = MIPSFusionTPU(cfg, dataset=ds)
-    results = slam.run(verbose=False)
-    return slam, results
+
+    def make_slam():
+        ds = SyntheticDataset(cfg, n_frames=cfg["synthetic"]["n_frames"],
+                              trajectory="corridor", span=1.0)
+        return MIPSFusionTPU(cfg, dataset=ds)
+
+    slam, aux = cached_run(tag, cfg, make_slam,
+                           lambda s: {"results": s.run(verbose=False)},
+                           extra_files=(__file__,))
+    return slam, aux["results"]
 
 
 def test_fast_profile_holds_ate_across_submaps():
     full_cfg = corridor_cfg(sharded=False)
-    slam_f, res_f = _run(full_cfg)
+    slam_f, res_f = _run(full_cfg, "fast_profile_full")
     assert res_f["n_submaps"] >= 2, "corridor must spawn several submaps"
 
     fast_cfg = corridor_cfg(sharded=False)
@@ -41,7 +47,7 @@ def test_fast_profile_holds_ate_across_submaps():
     fast_cfg["mapping"].update({"sample": 384, "pixels_cur": 128,
                                 "iters": 7})
     fast_cfg["training"].update({"n_samples_d": 10, "n_range_d": 7})
-    slam_q, res_q = _run(fast_cfg)
+    slam_q, res_q = _run(fast_cfg, "fast_profile_fast")
     assert res_q["n_submaps"] >= 2, "fast profile lost the submap structure"
 
     ate_full = res_f["absolute_translational_error.rmse"]

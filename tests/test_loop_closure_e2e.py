@@ -60,20 +60,29 @@ def loop_config(n_frames=220):
 
 @pytest.fixture(scope="module")
 def loop_e2e():
+    from fixture_cache import cached_run
     cfg = loop_config()
-    ds = SyntheticDataset(cfg, n_frames=cfg["synthetic"]["n_frames"],
-                          trajectory="outback", span=1.0)
-    slam = MIPSFusionTPU(cfg, dataset=ds)
-    switches = []
-    orig = slam.active_submap_switch
 
-    def spy(frame, i, kf_id):
-        switches.append(i)
-        return orig(frame, i, kf_id)
+    def make_slam():
+        ds = SyntheticDataset(cfg, n_frames=cfg["synthetic"]["n_frames"],
+                              trajectory="outback", span=1.0)
+        return MIPSFusionTPU(cfg, dataset=ds)
 
-    slam.active_submap_switch = spy
-    results = slam.run(verbose=False)
-    return slam, results, switches
+    def compute(slam):
+        switches = []
+        orig = slam.active_submap_switch
+
+        def spy(frame, i, kf_id):
+            switches.append(i)
+            return orig(frame, i, kf_id)
+
+        slam.active_submap_switch = spy
+        results = slam.run(verbose=False)
+        return {"results": results, "switches": switches}
+
+    slam, aux = cached_run("loop_e2e", cfg, make_slam, compute,
+                           extra_files=(__file__,))
+    return slam, aux["results"], aux["switches"]
 
 
 def test_switch_back_happened(loop_e2e):

@@ -27,14 +27,21 @@ pytestmark = pytest.mark.slow
 
 @pytest.fixture(scope="module")
 def loop_run():
+    from fixture_cache import cached_run
     cfg = multi_config(60)
     cfg["synthetic"]["trajectory"] = "loop"
     cfg["synthetic"]["span"] = 0.8
     cfg["mapping"]["keyframe_every"] = 5
-    ds = SyntheticDataset(cfg, n_frames=60, trajectory="loop", span=0.8)
-    slam = MIPSFusionTPU(cfg, dataset=ds)
-    results = slam.run(verbose=False)
-    return slam, results
+
+    def make_slam():
+        ds = SyntheticDataset(cfg, n_frames=60, trajectory="loop",
+                              span=0.8)
+        return MIPSFusionTPU(cfg, dataset=ds)
+
+    slam, aux = cached_run("loop_system", cfg, make_slam,
+                           lambda s: {"results": s.run(verbose=False)},
+                           extra_files=(__file__,))
+    return slam, aux["results"]
 
 
 def test_loop_run_completes(loop_run):

@@ -19,13 +19,19 @@ pytestmark = pytest.mark.slow
 
 
 def _run(dp: bool, n=24):
+    from fixture_cache import cached_run
     cfg = tiny_config(n)
     cfg["parallel"] = {"sharded_refine": False, "dp_hot_path": dp}
-    ds = SyntheticDataset(cfg, n_frames=n, trajectory="orbit",
-                          span=n / 200.0)
-    slam = MIPSFusionTPU(cfg, dataset=ds)
-    results = slam.run(verbose=False)
-    return slam, results
+
+    def make_slam():
+        ds = SyntheticDataset(cfg, n_frames=n, trajectory="orbit",
+                              span=n / 200.0)
+        return MIPSFusionTPU(cfg, dataset=ds)
+
+    slam, aux = cached_run(f"sharded_ba_{int(dp)}", cfg, make_slam,
+                           lambda s: {"results": s.run(verbose=False)},
+                           extra_files=(__file__,))
+    return slam, aux["results"]
 
 
 def test_dp_hot_path_matches_single_device():

@@ -31,23 +31,32 @@ def corridor_cfg(n_frames=45, sharded=True):
 
 
 def _run(sharded):
+    from fixture_cache import cached_run
     cfg = corridor_cfg(sharded=sharded)
     # keep the CPU compile burden down: the sharded step vmaps a full
     # local-BA body over the padded submap axis
     cfg["mapping"]["first_iters"] = 150
-    ds = SyntheticDataset(cfg, n_frames=cfg["synthetic"]["n_frames"],
-                          trajectory="corridor", span=1.0)
-    slam = MIPSFusionTPU(cfg, dataset=ds)
-    calls = {"sharded": 0}
-    orig = slam._inactive_refine_sharded
 
-    def spy(inactive, i):
-        calls["sharded"] += 1
-        return orig(inactive, i)
+    def make_slam():
+        ds = SyntheticDataset(cfg, n_frames=cfg["synthetic"]["n_frames"],
+                              trajectory="corridor", span=1.0)
+        return MIPSFusionTPU(cfg, dataset=ds)
 
-    slam._inactive_refine_sharded = spy
-    results = slam.run(verbose=False)
-    return slam, results, calls
+    def compute(slam):
+        calls = {"sharded": 0}
+        orig = slam._inactive_refine_sharded
+
+        def spy(inactive, i):
+            calls["sharded"] += 1
+            return orig(inactive, i)
+
+        slam._inactive_refine_sharded = spy
+        results = slam.run(verbose=False)
+        return {"results": results, "calls": calls}
+
+    slam, aux = cached_run(f"sharded_refine_{int(sharded)}", cfg,
+                           make_slam, compute, extra_files=(__file__,))
+    return slam, aux["results"], aux["calls"]
 
 
 def test_sharded_refine_runs_and_matches_sequential():

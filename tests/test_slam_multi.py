@@ -42,13 +42,19 @@ def multi_config(n_frames=48):
 
 @pytest.fixture(scope="module")
 def multi_run():
+    from fixture_cache import cached_run
     cfg = multi_config()
-    ds = SyntheticDataset(cfg, n_frames=cfg["synthetic"]["n_frames"],
-                          trajectory="corridor",
-                          span=cfg["synthetic"]["span"])
-    slam = MIPSFusionTPU(cfg, dataset=ds)
-    results = slam.run(verbose=False)
-    return slam, results
+
+    def make_slam():
+        ds = SyntheticDataset(cfg, n_frames=cfg["synthetic"]["n_frames"],
+                              trajectory="corridor",
+                              span=cfg["synthetic"]["span"])
+        return MIPSFusionTPU(cfg, dataset=ds)
+
+    slam, aux = cached_run("slam_multi", cfg, make_slam,
+                           lambda s: {"results": s.run(verbose=False)},
+                           extra_files=(__file__,))
+    return slam, aux["results"]
 
 
 def test_multiple_submaps_created(multi_run):

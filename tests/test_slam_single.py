@@ -70,13 +70,19 @@ def tiny_config(n_frames=24):
 
 @pytest.fixture(scope="module")
 def slam_run():
+    from fixture_cache import cached_run
     cfg = tiny_config()
-    ds = SyntheticDataset(cfg, n_frames=cfg["synthetic"]["n_frames"],
-                          trajectory="orbit",
-                          span=cfg["synthetic"]["span"])
-    slam = MIPSFusionTPU(cfg, dataset=ds)
-    results = slam.run(verbose=False)
-    return slam, results
+
+    def make_slam():
+        ds = SyntheticDataset(cfg, n_frames=cfg["synthetic"]["n_frames"],
+                              trajectory="orbit",
+                              span=cfg["synthetic"]["span"])
+        return MIPSFusionTPU(cfg, dataset=ds)
+
+    slam, aux = cached_run("slam_single", cfg, make_slam,
+                           lambda s: {"results": s.run(verbose=False)},
+                           extra_files=(__file__,))
+    return slam, aux["results"]
 
 
 def test_trajectory_accuracy(slam_run):
