@@ -21,8 +21,10 @@ intermediate in VMEM: per 1024-point block it
 
 HBM traffic is points in / outputs out. Used on gradient-free paths
 (RO particle fitness, ref RandomOptimizer.py:113-131; mesher grid
-queries) where no VJP is needed; training paths keep the composite
-differentiable pipeline.
+queries) via ``field_query_pallas``, and on the training paths (GO,
+local BA, submap init) via ``field_query_diff`` — a custom VJP whose
+backward pass is also hand-written Pallas (decoder-backward +
+triplane/CP-backward kernels, below).
 """
 
 from __future__ import annotations
@@ -53,6 +55,12 @@ def _round8(n: int) -> int:
     return (n + 7) // 8 * 8
 
 
+# Profiling ablation knob (tools/profile_field.py): comma-separated
+# subset of {planes, cp, pe, decoder} replaces that component with a
+# near-free placeholder at TRACE time — no runtime cost when unset.
+_STRIP = set((_os.environ.get("MIPS_KERNEL_STRIP") or "").split(","))
+
+
 def _make_field_kernel(resolutions: Sequence[int], F: int, n_freq: int,
                        n_class: int, sdf_only: bool, has_cp: bool,
                        return_embed: bool = False):
@@ -70,10 +78,11 @@ def _make_field_kernel(resolutions: Sequence[int], F: int, n_freq: int,
         cp_ref = refs[o] if has_cp else None
         o += 1 if has_cp else 0
         w0_ref = refs[o]                # [pe_rows, 128] (bias folded)
-        w1_ref = refs[o + 1]            # [136, 128]
+        w1_ref = refs[o + 1]            # [128, 128] (bias separate)
         ws0_ref = refs[o + 2]           # [r8(64+embed+1), 128]
-        ws1_ref = refs[o + 3]           # [136, 8]
-        wr_ref = refs[o + 4] if not sdf_only else None  # [64+pe_rows, 8]
+        ws1_ref = refs[o + 3]           # [128, 8] (bias separate)
+        bias_ref = refs[o + 4]          # [128, 8] f32: col0=b1, col1=bs1
+        wr_ref = refs[o + 5] if not sdf_only else None  # [64+pe_rows, 8]
         embed_out_ref = refs[-1] if return_embed else None
         out_ref = refs[-2] if return_embed else refs[-1]
         B = xT_ref.shape[1]
@@ -85,27 +94,34 @@ def _make_field_kernel(resolutions: Sequence[int], F: int, n_freq: int,
         # ---- triplane features [S*F, B] --------------------------------
         embeds = []
         for si, R in enumerate(resolutions):
+            if "planes" in _STRIP:
+                embeds.append(jnp.zeros((F, B), f32) + xpad[0:1] * 0.01)
+                continue
             RF = R * F
             iota_rb = jax.lax.broadcasted_iota(
                 jnp.int32, (R, B), 0).astype(f32)
             iota_rfb = (jax.lax.broadcasted_iota(jnp.int32, (RF, B), 0)
                         // F).astype(f32)
             ST = _sT(F, RF, jnp.bfloat16)
-            acc = jnp.zeros((F, B), f32)
+            # sum the three plane products in f32 and run ONE fold
+            # matmul per scale (3x fewer MXU passes than fold-per-plane)
+            psum = jnp.zeros((RF, B), f32)
             for p in range(3):
                 u, v = _plane_uv(xT_ref, p)
                 WuT = _onehotT(iota_rb, _coords(u, R), jnp.bfloat16)
-                WvT = _onehotT(iota_rfb, _coords(v, R), jnp.bfloat16)
+                WvT = _onehotT(iota_rfb, _coords(v, R), f32)
                 P = plane_refs[si][p]
                 AT = jax.lax.dot_general(
                     P, WuT, (((0,), (0,)), ((), ())),
                     preferred_element_type=f32)
-                prod = (AT * WvT).astype(jnp.bfloat16)
-                acc = acc + jax.lax.dot_general(
-                    ST, prod, (((1,), (0,)), ((), ())),
-                    preferred_element_type=f32)
-            embeds.append(acc)
-        if has_cp:
+                psum = psum + AT * WvT
+            embeds.append(jax.lax.dot_general(
+                ST, psum.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+                preferred_element_type=f32))
+        if has_cp and "cp" in _STRIP:
+            C_ = cp_ref.shape[2]
+            embeds.append(jnp.zeros((C_, B), f32) + xpad[0:1] * 0.01)
+        elif has_cp:
             Rcp = cp_ref.shape[1]
             iota_cp = jax.lax.broadcasted_iota(
                 jnp.int32, (Rcp, B), 0).astype(f32)
@@ -121,6 +137,10 @@ def _make_field_kernel(resolutions: Sequence[int], F: int, n_freq: int,
         if return_embed:
             embed_out_ref[...] = embedT
 
+        if "decoder" in _STRIP:
+            out_ref[:] = jnp.broadcast_to(
+                jnp.sum(embedT[:8], axis=0, keepdims=True), (out_ref.shape[0], B))
+            return
         # ---- frequency PE: sin/cos blocks [DF, B] each ------------------
         # xrep[d*J + j] = x[d]; ang = xrep * 2^j * pi
         xrep = jnp.concatenate(
@@ -129,8 +149,12 @@ def _make_field_kernel(resolutions: Sequence[int], F: int, n_freq: int,
         krow = jax.lax.broadcasted_iota(jnp.int32, (DF, B), 0)
         freq = jnp.exp2((krow % n_freq).astype(f32)) * np.float32(np.pi)
         ang = xrep * freq
-        peT = jnp.concatenate(
-            [xpad.astype(f32), jnp.sin(ang), jnp.cos(ang)], axis=0)
+        if "pe" in _STRIP:
+            peT = jnp.concatenate(
+                [xpad.astype(f32), ang, ang], axis=0)
+        else:
+            peT = jnp.concatenate(
+                [xpad.astype(f32), jnp.sin(ang), jnp.cos(ang)], axis=0)
         # [pe_rows, B]; the ones (bias) row is xpad row 3
 
         def dense(wT_ref, x, relu):
@@ -141,11 +165,13 @@ def _make_field_kernel(resolutions: Sequence[int], F: int, n_freq: int,
             return jnp.maximum(h, 0.0) if relu else h
 
         h0 = dense(w0_ref, peT[:w0_ref.shape[0]], True)      # [128, B]
-        h1 = dense(w1_ref, jnp.concatenate([h0, ones8], 0), False)
+        # biases via VPU broadcast-add: keeps K at 128 (a 136-row
+        # bias-augmented operand pads to TWO 128-row MXU passes)
+        h1 = dense(w1_ref, h0, False) + bias_ref[:, 0:1]
         sdf_emb = h1[:64]
         sdf_in = jnp.concatenate([sdf_emb, embedT, ones8], axis=0)
         h2 = dense(ws0_ref, sdf_in[:ws0_ref.shape[0]], True)
-        logits = dense(ws1_ref, jnp.concatenate([h2, ones8], 0), False)
+        logits = dense(ws1_ref, h2, False) + bias_ref[0:8, 1:2]
 
         crow = jax.lax.broadcasted_iota(jnp.int32, (8, B), 0)
         cls_mask = crow < n_class
@@ -206,19 +232,21 @@ def _prep_weights(decoder: Dict, n_freq: int, embed_dim: int,
     # trunk0: permuted pe rows; bias at the ones row (index 3)
     w0 = expand_pe(decoder["trunk0"]["w"]).at[3].set(
         decoder["trunk0"]["b"])
-    # trunk1: input h0(128) + ones8 -> bias at row 128
-    w1 = jnp.zeros((136, 128), w0.dtype) \
-        .at[:128].set(decoder["trunk1"]["w"]) \
-        .at[128].set(decoder["trunk1"]["b"])
+    # trunk1 / sdf1: K kept at 128; biases go in a separate f32 ref
+    # (col 0 = trunk1 bias over 128 rows, col 1 rows 0..7 = sdf1 bias)
+    # and are broadcast-added on the VPU inside the kernel.
+    w1 = decoder["trunk1"]["w"]
     # sdf0: input sdf_emb(64) + embed(embed_dim) + ones8
     s_in = 64 + embed_dim
     ws0 = jnp.zeros((_round8(s_in + 1), 128), w0.dtype) \
         .at[:s_in].set(decoder["sdf0"]["w"]) \
         .at[s_in].set(decoder["sdf0"]["b"])
-    # sdf1: input h2(128) + ones8
-    ws1 = jnp.zeros((136, 8), w0.dtype) \
-        .at[:128, :decoder["sdf1"]["w"].shape[1]].set(decoder["sdf1"]["w"]) \
-        .at[128, :decoder["sdf1"]["b"].shape[0]].set(decoder["sdf1"]["b"])
+    ws1 = jnp.zeros((128, 8), w0.dtype) \
+        .at[:128, :decoder["sdf1"]["w"].shape[1]].set(decoder["sdf1"]["w"])
+    biases = jnp.zeros((128, 8), jnp.float32) \
+        .at[:, 0].set(decoder["trunk1"]["b"].astype(jnp.float32)) \
+        .at[:decoder["sdf1"]["b"].shape[0], 1].set(
+            decoder["sdf1"]["b"].astype(jnp.float32))
     out = [w0, w1, ws0, ws1]
     if not sdf_only:
         wr_full = decoder["rgb"]["w"]                 # [64+pe_dim, 3]
@@ -227,7 +255,8 @@ def _prep_weights(decoder: Dict, n_freq: int, embed_dim: int,
             .at[64:, :3].set(expand_pe(wr_full[64:])) \
             .at[64 + 3, :3].set(decoder["rgb"]["b"])
         out.append(wr)
-    return tuple(w.astype(jnp.bfloat16) for w in out)
+    return tuple(w.astype(jnp.bfloat16) for w in out[:4]) + (biases,) \
+        + tuple(w.astype(jnp.bfloat16) for w in out[4:])
 
 
 @functools.partial(jax.jit, static_argnames=("resolutions", "n_freq",
@@ -344,8 +373,8 @@ def _make_decoder_bwd_kernel(F: int, n_freq: int, n_class: int,
     ws0_rows = _round8(s_in + 1)
 
     def kernel(xpad_ref, g_ref, embed_ref, w0_ref, w1_ref, ws0_ref,
-               ws1_ref, wr_ref, dxpe_ref, dembed_ref, dw0_ref, dw1_ref,
-               dws0_ref, dws1_ref, dwr_ref):
+               ws1_ref, bias_ref, wr_ref, dxpe_ref, dembed_ref, dw0_ref,
+               dw1_ref, dws0_ref, dws1_ref, dbias_ref, dwr_ref):
         i = pl.program_id(0)
         xpad = xpad_ref[...]
         B = xpad.shape[1]
@@ -372,13 +401,11 @@ def _make_decoder_bwd_kernel(F: int, n_freq: int, n_class: int,
             return jnp.maximum(h, 0.0) if relu else h
 
         h0 = dense(w0_ref, peT, True)
-        h0aug = jnp.concatenate([h0, ones8], 0)
-        h1 = dense(w1_ref, h0aug, False)
+        h1 = dense(w1_ref, h0, False) + bias_ref[:, 0:1]
         sdf_emb, rgb_emb = h1[:64], h1[64:]
         sdf_in = jnp.concatenate([sdf_emb, embedT, ones8], axis=0)
         h2 = dense(ws0_ref, sdf_in[:ws0_rows], True)
-        h2aug = jnp.concatenate([h2, ones8], 0)
-        logits = dense(ws1_ref, h2aug, False)
+        logits = dense(ws1_ref, h2, False) + bias_ref[0:8, 1:2]
         prob, _, crow, cls_mask = _softmax_head(logits, n_class, B)
         rgb_in = jnp.concatenate([rgb_emb, peT], axis=0)
 
@@ -408,13 +435,15 @@ def _make_decoder_bwd_kernel(F: int, n_freq: int, n_class: int,
             rgb_in.astype(bf16), g_rgb8.astype(bf16),
             (((1,), (1,)), ((), ())), preferred_element_type=f32)
 
-        # sdf head
+        # sdf head (weights are bias-free [128, .] -> single MXU pass;
+        # bias grads are VPU lane reductions)
         d_h2 = jax.lax.dot_general(
             ws1_ref[...], d_logits.astype(bf16), (((1,), (0,)), ((), ())),
-            preferred_element_type=f32)[:128]
+            preferred_element_type=f32)
         dWs1 = jax.lax.dot_general(
-            h2aug.astype(bf16), d_logits.astype(bf16),
+            h2.astype(bf16), d_logits.astype(bf16),
             (((1,), (1,)), ((), ())), preferred_element_type=f32)
+        dbs1 = jnp.sum(d_logits, axis=1, keepdims=True)       # [8, 1]
         d_h2 = d_h2 * (h2 > 0.0)
         d_sdf_in = jax.lax.dot_general(
             ws0_ref[...], d_h2.astype(bf16), (((1,), (0,)), ((), ())),
@@ -430,10 +459,11 @@ def _make_decoder_bwd_kernel(F: int, n_freq: int, n_class: int,
         d_h1 = jnp.concatenate([d_sdf_emb, d_rgb_in[:64]], axis=0)
         d_h0 = jax.lax.dot_general(
             w1_ref[...], d_h1.astype(bf16), (((1,), (0,)), ((), ())),
-            preferred_element_type=f32)[:128]
-        dW1 = jax.lax.dot_general(
-            h0aug.astype(bf16), d_h1.astype(bf16), (((1,), (1,)), ((), ())),
             preferred_element_type=f32)
+        dW1 = jax.lax.dot_general(
+            h0.astype(bf16), d_h1.astype(bf16), (((1,), (1,)), ((), ())),
+            preferred_element_type=f32)
+        db1 = jnp.sum(d_h1, axis=1, keepdims=True)            # [128, 1]
         d_h0 = d_h0 * (h0 > 0.0)
         d_pe = jax.lax.dot_general(
             w0_ref[...], d_h0.astype(bf16), (((1,), (0,)), ((), ())),
@@ -457,8 +487,16 @@ def _make_decoder_bwd_kernel(F: int, n_freq: int, n_class: int,
             preferred_element_type=f32)                   # [8, B]
         dxpe_ref[...] = dx8 + jnp.where(row8 < 3, d_pe[0:8], 0.0)
 
+        # bias grads packed like the bias input: col0=trunk1, col1=sdf1
+        col8 = jax.lax.broadcasted_iota(jnp.int32, (128, 8), 1)
+        dbs1_pad = jnp.concatenate(
+            [dbs1, jnp.zeros((120, 1), f32)], axis=0)
+        dbias = (jnp.where(col8 == 0, db1, 0.0)
+                 + jnp.where(col8 == 1, dbs1_pad, 0.0))
+
         for ref, val in ((dw0_ref, dW0), (dw1_ref, dW1), (dws0_ref, dWs0),
-                         (dws1_ref, dWs1), (dwr_ref, dWr)):
+                         (dws1_ref, dWs1), (dbias_ref, dbias),
+                         (dwr_ref, dWr)):
             @pl.when(i == 0)
             def _(ref=ref, val=val):
                 ref[...] = val
@@ -524,8 +562,8 @@ def _decoder_bwd_call(params: Dict, xpadT: jnp.ndarray, gT: jnp.ndarray,
         jax.ShapeDtypeStruct((8, Np), jnp.float32),
         jax.ShapeDtypeStruct((embed_dim, Np), jnp.float32),
     ]
-    for shape in ((pe_rows, 128), (136, 128), (ws0_rows, 128), (136, 8),
-                  (64 + pe_rows, 8)):
+    for shape in ((pe_rows, 128), (128, 128), (ws0_rows, 128), (128, 8),
+                  (128, 8), (64 + pe_rows, 8)):
         out_specs.append(pl.BlockSpec(shape, lambda i, s=shape: (0,) * 2,
                                       memory_space=pltpu.VMEM))
         out_shapes.append(jax.ShapeDtypeStruct(shape, jnp.float32))
@@ -539,7 +577,7 @@ def _decoder_bwd_call(params: Dict, xpadT: jnp.ndarray, gT: jnp.ndarray,
         interpret=_INTERPRET,
     )(*args)
     dxpe, dembed = outs[0][:3], outs[1]
-    dW0, dW1, dWs0, dWs1, dWr = outs[2:7]
+    dW0, dW1, dWs0, dWs1, dBias, dWr = outs[2:8]
 
     # map kernel-layout weight grads back to decoder param layout
     J = n_freq
@@ -559,9 +597,9 @@ def _decoder_bwd_call(params: Dict, xpadT: jnp.ndarray, gT: jnp.ndarray,
     n_out_sdf1 = params["decoder"]["sdf1"]["w"].shape[1]
     ddecoder = {
         "trunk0": {"w": dW0[inv_j], "b": dW0[3]},
-        "trunk1": {"w": dW1[:128], "b": dW1[128]},
+        "trunk1": {"w": dW1[:128], "b": dBias[:, 0]},
         "sdf0": {"w": dWs0[:s_in], "b": dWs0[s_in]},
-        "sdf1": {"w": dWs1[:128, :n_out_sdf1], "b": dWs1[128, :n_out_sdf1]},
+        "sdf1": {"w": dWs1[:128, :n_out_sdf1], "b": dBias[:n_out_sdf1, 1]},
         "rgb": {"w": jnp.concatenate(
             [dWr[:64, :3], dWr[64:][inv_j][:, :3]], axis=0),
             "b": dWr[64 + 3, :3]},
