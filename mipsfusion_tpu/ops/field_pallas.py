@@ -44,7 +44,7 @@ import os as _os
 _INTERPRET = bool(_os.environ.get("MIPS_PALLAS_INTERPRET"))
 
 from .triplane_pallas import (BLOCK_N, _coords, _flat_planes, _onehotT,
-                              _pad_n, _plane_uv, _s, _sT)
+                              _pad_n, _plane_tents, _sT)
 
 # output row layout of the full query (matches decoder_apply's column
 # layout: rgb(3), sdf(1), entropy(1), prob(n_class)); padded to 16 rows
@@ -103,13 +103,13 @@ def _make_field_kernel(resolutions: Sequence[int], F: int, n_freq: int,
             iota_rfb = (jax.lax.broadcasted_iota(jnp.int32, (RF, B), 0)
                         // F).astype(f32)
             ST = _sT(F, RF, jnp.bfloat16)
+            tents, _ = _plane_tents(xT_ref, iota_rb, iota_rfb, R,
+                                    jnp.bfloat16, f32)
             # sum the three plane products in f32 and run ONE fold
             # matmul per scale (3x fewer MXU passes than fold-per-plane)
             psum = jnp.zeros((RF, B), f32)
             for p in range(3):
-                u, v = _plane_uv(xT_ref, p)
-                WuT = _onehotT(iota_rb, _coords(u, R), jnp.bfloat16)
-                WvT = _onehotT(iota_rfb, _coords(v, R), f32)
+                WuT, WvT = tents[p]
                 P = plane_refs[si][p]
                 AT = jax.lax.dot_general(
                     P, WuT, (((0,), (0,)), ((), ())),

@@ -82,13 +82,31 @@ def _sT(F: int, RF: int, dtype):
     return (cols % F == rows).astype(dtype)
 
 
-def _plane_uv(xT_ref, p: int):
-    """Row vectors (u, v) [1, B] for plane p: (xy, xz, yz)."""
-    if p == 0:
-        return xT_ref[0:1], xT_ref[1:2]
-    if p == 1:
-        return xT_ref[0:1], xT_ref[2:3]
-    return xT_ref[1:2], xT_ref[2:3]
+def _plane_tents(xT_ref, iota_rb, iota_rfb, R: int, u_dtype, v_dtype):
+    """Per-plane (WuT, WvT) interp matrices for one scale, with shared
+    tents hoisted: the planes sample (u, v) = (x,y), (x,z), (y,z), so
+    only x and y are ever a u-coordinate and only y and z a
+    v-coordinate — 2 tents at [R, B] + 2 at [R*F, B] instead of the 3+3
+    a per-plane build would construct (the tent builds dominate the
+    triplane VPU cost; see BASELINE.md)."""
+    px = _coords(xT_ref[0:1], R)
+    py = _coords(xT_ref[1:2], R)
+    pz = _coords(xT_ref[2:3], R)
+    wx = _onehotT(iota_rb, px, u_dtype)
+    wy = _onehotT(iota_rb, py, u_dtype)
+    wyF = _onehotT(iota_rfb, py, v_dtype)
+    wzF = _onehotT(iota_rfb, pz, v_dtype)
+    return ((wx, wyF), (wx, wzF), (wy, wzF)), (px, py, pz)
+
+
+def _plane_tents_diff(pcoords, iota_rb, iota_rfb, u_dtype, v_dtype):
+    """d/dcoord one-hots matching _plane_tents' plane order."""
+    px, py, pz = pcoords
+    dx = _onehotT_diff(iota_rb, px, u_dtype)
+    dy = _onehotT_diff(iota_rb, py, u_dtype)
+    dyF = _onehotT_diff(iota_rfb, py, v_dtype)
+    dzF = _onehotT_diff(iota_rfb, pz, v_dtype)
+    return ((dx, dyF), (dx, dzF), (dy, dzF))
 
 
 def _coords(u, R: int):
@@ -117,11 +135,11 @@ def _make_fwd_kernel(resolutions: Sequence[int], F: int, has_cp: bool):
             iota_rfb = (jax.lax.broadcasted_iota(jnp.int32, (RF, B), 0)
                         // F).astype(jnp.float32)
             ST = _sT(F, RF, jnp.bfloat16)
+            tents, _ = _plane_tents(xT_ref, iota_rb, iota_rfb, R,
+                                    jnp.bfloat16, jnp.bfloat16)
             acc = jnp.zeros((F, B), jnp.float32)
             for p in range(3):
-                u, v = _plane_uv(xT_ref, p)
-                WuT = _onehotT(iota_rb, _coords(u, R), jnp.bfloat16)
-                WvT = _onehotT(iota_rfb, _coords(v, R), jnp.bfloat16)
+                WuT, WvT = tents[p]
                 P = plane_refs[si][p]                        # [R, RF] bf16
                 AT = jax.lax.dot_general(
                     P, WuT, (((0,), (0,)), ((), ())),
@@ -205,10 +223,10 @@ def _make_bwd_plane_kernel(resolutions: Sequence[int], F: int,
             g_exp = jax.lax.dot_general(
                 Sx, gT, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)          # [RF, B]
+            tents, _ = _plane_tents(xT_ref, iota_rb, iota_rfb, R,
+                                    jnp.bfloat16, jnp.float32)
             for p in range(3):
-                u, v = _plane_uv(xT_ref, p)
-                WuT = _onehotT(iota_rb, _coords(u, R), jnp.bfloat16)
-                WvT = _onehotT(iota_rfb, _coords(v, R), jnp.float32)
+                WuT, WvT = tents[p]
                 MT = (WvT * g_exp).astype(jnp.bfloat16)      # [RF, B]
                 dP = jax.lax.dot_general(
                     WuT, MT, (((1,), (1,)), ((), ())),
@@ -320,13 +338,13 @@ def _make_bwd_x_kernel(resolutions: Sequence[int], F: int, has_cp: bool):
                 Sx, gT, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)          # [RF, B]
             scale = jnp.float32(R - 1)
+            tents, pcoords = _plane_tents(xT_ref, iota_rb, iota_rfb, R,
+                                          jnp.bfloat16, jnp.float32)
+            dtents = _plane_tents_diff(pcoords, iota_rb, iota_rfb,
+                                       jnp.bfloat16, jnp.float32)
             for p in range(3):
-                u, v = _plane_uv(xT_ref, p)
-                pu, pv = _coords(u, R), _coords(v, R)
-                WuT = _onehotT(iota_rb, pu, jnp.bfloat16)
-                DuT = _onehotT_diff(iota_rb, pu, jnp.bfloat16)
-                WvT = _onehotT(iota_rfb, pv, jnp.float32)
-                DvT = _onehotT_diff(iota_rfb, pv, jnp.float32)
+                WuT, WvT = tents[p]
+                DuT, DvT = dtents[p]
                 P = plane_refs[si][p]
 
                 AduT = jax.lax.dot_general(

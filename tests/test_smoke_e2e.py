@@ -31,13 +31,23 @@ def smoke_config(n=12):
     return cfg
 
 
-def test_full_run_smoke():
+def test_full_run_smoke(tmp_path):
     n = 12
     cfg = smoke_config(n)
+    # in-loop meshing on the mesh_freq cadence (ref InactiveMap.py:526-529
+    # mesh_flag): one mid-run extraction at frame 8, coarse voxel so the
+    # marching pass stays cheap on CPU
+    cfg["data"]["output"] = str(tmp_path)
+    cfg["mesh"] = {"voxel_final": 0.12, "mesh_freq": 8, "vis": 0,
+                   "ckpt_freq": 0, "extract_final": False}
     ds = SyntheticDataset(cfg, n_frames=n, trajectory="orbit",
                           span=n / 400.0)
     slam = MIPSFusionTPU(cfg, dataset=ds)
     results = slam.run(verbose=False)
+
+    mid_meshes = list(tmp_path.glob("**/mesh_8.ply"))
+    assert mid_meshes and mid_meshes[0].stat().st_size > 0, \
+        "mesh_freq did not produce a mid-run mesh"
 
     assert np.isfinite(results["absolute_translational_error.rmse"])
     # budgets are tiny and the motion is small: demand only that
