@@ -60,6 +60,22 @@ def _round8(n: int) -> int:
 # near-free placeholder at TRACE time — no runtime cost when unset.
 _STRIP = set((_os.environ.get("MIPS_KERNEL_STRIP") or "").split(","))
 
+# A/B knob: accumulate the per-plane interpolation products in bf16
+# instead of f32 in the forward kernel (halves the [RF, B] accumulator
+# traffic; the MXU still accumulates each dot in f32 internally). The
+# embed values lose ~8 mantissa bits pre-decoder; ATE impact must be
+# re-validated before making this the default (tools/ab_encoding.py).
+_BF16_PSUM = bool(_os.environ.get("MIPS_BF16_PSUM"))
+
+
+def _freq_rows(krow, n_freq: int):
+    """PE frequency constant 2^(k % J) * pi built from exponent bits:
+    for integer j in [0, 127], float32(2^j) is (127 + j) << 23 — three
+    integer VPU ops instead of a transcendental exp2."""
+    j = krow % n_freq
+    return jax.lax.bitcast_convert_type(
+        (j + 127) << 23, jnp.float32) * np.float32(np.pi)
+
 
 def _make_field_kernel(resolutions: Sequence[int], F: int, n_freq: int,
                        n_class: int, sdf_only: bool, has_cp: bool,
@@ -103,17 +119,18 @@ def _make_field_kernel(resolutions: Sequence[int], F: int, n_freq: int,
             iota_rfb = (jax.lax.broadcasted_iota(jnp.int32, (RF, B), 0)
                         // F).astype(f32)
             ST = _sT(F, RF, jnp.bfloat16)
+            acc_dt = jnp.bfloat16 if _BF16_PSUM else f32
             tents, _ = _plane_tents(xT_ref, iota_rb, iota_rfb, R,
-                                    jnp.bfloat16, f32)
-            # sum the three plane products in f32 and run ONE fold
-            # matmul per scale (3x fewer MXU passes than fold-per-plane)
-            psum = jnp.zeros((RF, B), f32)
+                                    jnp.bfloat16, acc_dt)
+            # sum the three plane products and run ONE fold matmul per
+            # scale (3x fewer MXU passes than fold-per-plane)
+            psum = jnp.zeros((RF, B), acc_dt)
             for p in range(3):
                 WuT, WvT = tents[p]
                 P = plane_refs[si][p]
                 AT = jax.lax.dot_general(
                     P, WuT, (((0,), (0,)), ((), ())),
-                    preferred_element_type=f32)
+                    preferred_element_type=acc_dt)
                 psum = psum + AT * WvT
             embeds.append(jax.lax.dot_general(
                 ST, psum.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
@@ -147,7 +164,7 @@ def _make_field_kernel(resolutions: Sequence[int], F: int, n_freq: int,
             [jnp.broadcast_to(xpad[d:d + 1], (n_freq, B))
              for d in range(3)], axis=0)             # [DF, B]
         krow = jax.lax.broadcasted_iota(jnp.int32, (DF, B), 0)
-        freq = jnp.exp2((krow % n_freq).astype(f32)) * np.float32(np.pi)
+        freq = _freq_rows(krow, n_freq)
         ang = xrep * freq
         if "pe" in _STRIP:
             peT = jnp.concatenate(
@@ -389,7 +406,7 @@ def _make_decoder_bwd_kernel(F: int, n_freq: int, n_class: int,
             [jnp.broadcast_to(xpad[d:d + 1], (J, B)) for d in range(3)],
             axis=0)
         krow = jax.lax.broadcasted_iota(jnp.int32, (DF, B), 0)
-        freq = jnp.exp2((krow % J).astype(f32)) * np.float32(np.pi)
+        freq = _freq_rows(krow, J)
         ang = xrep * freq
         sin_a, cos_a = jnp.sin(ang), jnp.cos(ang)
         peT = jnp.concatenate([xpad.astype(f32), sin_a, cos_a], axis=0)
