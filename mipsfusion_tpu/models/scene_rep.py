@@ -31,7 +31,7 @@ import jax.numpy as jnp
 from ..ops.encoding import (FrequencyConfig, HashGridConfig, TriplaneConfig,
                             frequency_encode, hash_encode, init_hash_table,
                             init_triplane, triplane_encode)
-from ..ops.losses import compute_loss, get_sdf_loss, mse2psnr
+from ..ops.losses import compute_loss, get_sdf_loss, get_sdf_loss_T, mse2psnr
 from .decoder import DecoderConfig, decoder_apply, init_decoder_params
 
 
@@ -370,6 +370,99 @@ def forward_losses(params: Dict, key: jax.Array, rays_o: jnp.ndarray,
 
     return {
         "rgb": rend["rgb"], "depth": rend["depth"],
+        "rgb_loss": rgb_loss, "depth_loss": depth_loss,
+        "sdf_loss": sdf_loss, "fs_loss": fs_loss, "psnr": psnr,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Transposed (points-minor) training forward
+# ---------------------------------------------------------------------------
+#
+# The row-major pipeline above carries [N, 3] points and [N, 10] raw
+# outputs; on TPU both put the tiny channel axis on lanes, so every
+# tensor tiles at 3/128 (resp. 10/128) occupancy and the relayouts in
+# and out of the fused kernel cost as much as the kernel itself
+# (BASELINE.md "training glue"). The _T pipeline keeps the point axis
+# minor end to end — rays [3, N], points [3, N*S], raw [10+, N, S] —
+# which is also the fused kernel's native layout (ops/field_pallas.py
+# field_query_diff_T), so nothing is ever transposed at size. Loss
+# semantics are identical to forward_losses (same reductions, same
+# masks; parity-tested in tests/test_transposed_losses.py).
+
+def query_color_sdf_T(params: Dict, ptsT_norm: jnp.ndarray,
+                      cfg: FieldConfig) -> jnp.ndarray:
+    """Decode pre-normalized points [3, M] -> [5 + n_class, M]."""
+    xT = ptsT_norm / cfg.norm_factor
+    if cfg.enc == "Triplane" and cfg.use_pallas:
+        from ..ops.field_pallas import field_query_diff_T
+        return field_query_diff_T(params, xT, cfg.tri.resolutions,
+                                  cfg.freq.n_frequencies,
+                                  cfg.decoder.n_class)
+    return query_color_sdf(params, ptsT_norm.T, cfg).T
+
+
+def raw2outputs_T(rawT: jnp.ndarray, z_vals: jnp.ndarray,
+                  cfg: FieldConfig):
+    """raw2outputs on [C_out, N, S] raw (same math, channel-major)."""
+    rgbT = jax.nn.sigmoid(rawT[:3])                       # [3, N, S]
+    weights = sdf2weights(rawT[3], z_vals, cfg)           # [N, S]
+    rgb_mapT = jnp.sum(weights[None] * rgbT, axis=-1)     # [3, N]
+    depth_map = jnp.sum(weights * z_vals, axis=-1)
+    depth_var = jnp.sum(weights * (z_vals - depth_map[..., None]) ** 2,
+                        axis=-1)
+    return rgb_mapT, weights, depth_map, depth_var
+
+
+def render_rays_T(params: Dict, key: jax.Array, rays_oT: jnp.ndarray,
+                  rays_dT: jnp.ndarray, target_d: jnp.ndarray,
+                  cfg: FieldConfig, consts: FieldConsts) -> Dict:
+    """render_rays with points-minor layout: rays_oT/rays_dT [3, N]."""
+    z_vals = sample_z_vals(key, target_d, cfg)            # [N, S]
+    ptsT = (rays_oT[:, :, None]
+            + rays_dT[:, :, None] * z_vals[None, :, :])   # [3, N, S]
+    n, s = z_vals.shape
+    flatT = ptsT.reshape(3, n * s)
+    xT = (flatT - consts.bb_lo[:, None]) * consts.bb_inv_extent[:, None]
+    rawT = query_color_sdf_T(params, xT, cfg).reshape(-1, n, s)
+    rgb_mapT, weights, depth_map, depth_var = raw2outputs_T(
+        rawT, z_vals, cfg)
+    return {
+        "rgbT": rgb_mapT, "depth": depth_map, "depth_var": depth_var,
+        "weights": weights, "z_vals": z_vals, "rawT": rawT,
+    }
+
+
+def forward_losses_T(params: Dict, key: jax.Array, rays_oT: jnp.ndarray,
+                     rays_dT: jnp.ndarray, target_rgbT: jnp.ndarray,
+                     target_d: jnp.ndarray, cfg: FieldConfig,
+                     consts: FieldConsts, emd_w: float = 0.01) -> Dict:
+    """forward_losses with [3, N] rays/targets (identical loss values)."""
+    rend = render_rays_T(params, key, rays_oT, rays_dT, target_d, cfg,
+                         consts)
+
+    td = target_d[..., 0]
+    valid = (td > 0.0) & (td < cfg.depth_trunc)
+    rgb_weight = jnp.where(valid[None, :], 1.0, cfg.rgb_missing)
+
+    rgb_loss = compute_loss(rend["rgbT"] * rgb_weight,
+                            target_rgbT * rgb_weight)
+    psnr = mse2psnr(rgb_loss)
+
+    nvalid = jnp.maximum(jnp.sum(valid.astype(jnp.float32)), 1.0)
+    depth_sq = (rend["depth"] - td) ** 2 * valid.astype(jnp.float32)
+    depth_loss = jnp.sum(depth_sq) / nvalid
+
+    z_vals = rend["z_vals"]
+    sdf = rend["rawT"][3]
+    sdf_probT = rend["rawT"][5:]
+    truncation = cfg.trunc * cfg.sc_factor
+    fs_loss, sdf_loss = get_sdf_loss_T(
+        z_vals, target_d, sdf, sdf_probT, truncation,
+        cate_num=cfg.decoder.n_class, emd_w=emd_w)
+
+    return {
+        "rgbT": rend["rgbT"], "depth": rend["depth"],
         "rgb_loss": rgb_loss, "depth_loss": depth_loss,
         "sdf_loss": sdf_loss, "fs_loss": fs_loss, "psnr": psnr,
     }

@@ -128,9 +128,11 @@ def _make_field_kernel(resolutions: Sequence[int], F: int, n_freq: int,
             for p in range(3):
                 WuT, WvT = tents[p]
                 P = plane_refs[si][p]
+                # Mosaic requires a 32-bit matmul accumulator; the bf16
+                # A/B casts the RESULT so the psum chain runs in bf16
                 AT = jax.lax.dot_general(
                     P, WuT, (((0,), (0,)), ((), ())),
-                    preferred_element_type=acc_dt)
+                    preferred_element_type=jnp.float32).astype(acc_dt)
                 psum = psum + AT * WvT
             embeds.append(jax.lax.dot_general(
                 ST, psum.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
@@ -685,3 +687,80 @@ def _fqd_bwd(resolutions, n_freq, n_class, saved, g):
 
 
 field_query_diff.defvjp(_fqd_fwd, _fqd_bwd)
+
+
+# ---------------------------------------------------------------------------
+# transposed differentiable fused query (points-minor end to end)
+# ---------------------------------------------------------------------------
+#
+# field_query_diff takes x [N, 3] and returns [N, 10]: both layouts put
+# the POINT axis on sublanes, so XLA inserts a lane<->sublane relayout
+# on the way into the kernel (xp.T) and out of it (outT.T), and the
+# same pair again for the cotangent in the backward. At [195k, 3] /
+# [195k, 10] those tiles are 97/92% padding — the relayouts profile at
+# a comparable cost to the kernel itself (BASELINE.md "training glue").
+# Training callers that can build their ray points points-minor
+# ([3, N], scene_rep.render_rays_T) use this variant instead: the
+# kernel consumes and produces its native layout and the VJP never
+# transposes anything.
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def field_query_diff_T(params: Dict, xT: jnp.ndarray,
+                       resolutions: Tuple[int, ...], n_freq: int = 8,
+                       n_class: int = 5) -> jnp.ndarray:
+    """Differentiable fused field query, transposed: [3, N] -> [5+C, N].
+
+    Same math and kernels as field_query_diff; row layout of the output
+    matches decoder_apply's column layout (rgb 3, sdf, entropy, prob C).
+    """
+    out, _ = _fqdT_fwd(params, xT, resolutions, n_freq, n_class)
+    return out
+
+
+def _fqdT_fwd(params, xT, resolutions, n_freq, n_class):
+    out, embedT = field_query_pallas(params, xT, resolutions, n_freq,
+                                     n_class, return_embed=True,
+                                     x_transposed=True,
+                                     return_transposed=True)
+    return out, (params, xT, embedT)
+
+
+def _fqdT_bwd(resolutions, n_freq, n_class, saved, gT):
+    from .triplane_pallas import (BLOCK_N_UV, _fused_backward_plane,
+                                  _fused_backward_x)
+
+    params, xT, embedT = saved
+    planes = params["planes"]
+    F = planes["s0"].shape[-1]
+    cp = planes.get("cp")
+    cp_bf = cp.astype(jnp.bfloat16) if cp is not None else None
+
+    N = xT.shape[1]
+    Np = embedT.shape[1]                  # already BLOCK_N-padded
+    gp = jnp.pad(gT, ((0, OUT_ROWS - gT.shape[0]), (0, Np - N)))
+    xp = jnp.pad(xT, ((0, 0), (0, Np - N))) if Np != N else xT
+    xpadT = jnp.concatenate(
+        [xp, jnp.ones((1, Np), xT.dtype), jnp.zeros((4, Np), xT.dtype)],
+        axis=0)
+
+    dxpe, dembedT, ddecoder = _decoder_bwd_call(
+        params, xpadT, gp, embedT, resolutions, n_freq, n_class)
+
+    dps = _fused_backward_plane(xp, dembedT, resolutions, F, cp_bf)
+    dplanes = {f"s{i}": dp.reshape(3, R, R, F)
+               for i, (R, dp) in enumerate(
+                   zip(resolutions, dps[:len(resolutions)]))}
+    if cp is not None:
+        dplanes["cp"] = dps[len(resolutions)]
+
+    # BLOCK_N is a multiple of BLOCK_N_UV, so the BLOCK_N-padded arrays
+    # are valid inputs for the x-backward grid as-is
+    assert Np % BLOCK_N_UV == 0
+    dxT_tri = _fused_backward_x(
+        xp, dembedT, _flat_planes(planes, resolutions, F),
+        resolutions, F, cp_bf)
+    dxT = (dxpe[:, :N] + dxT_tri[:, :N]).astype(xT.dtype)
+    return {"planes": dplanes, "decoder": ddecoder}, dxT
+
+
+field_query_diff_T.defvjp(_fqdT_fwd, _fqdT_bwd)

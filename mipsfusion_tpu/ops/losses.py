@@ -83,6 +83,47 @@ def get_sdf_loss(z_vals, target_d, predicted_sdf, sdf_prob, truncation,
     return fs_loss, sdf_loss
 
 
+def get_sdf_loss_T(z_vals, target_d, predicted_sdf, sdf_probT, truncation,
+                   cate_num: int = 5, emd_w: float = 0.01,
+                   loss_type: str = "l2"):
+    """get_sdf_loss with class-major probabilities.
+
+    z_vals/predicted_sdf: [B, S]; target_d: [B, 1]; sdf_probT: [C, B, S]
+    (the fused kernel's native row layout — see scene_rep.render_rays_T).
+    Identical reductions to get_sdf_loss, with the class axis leading so
+    nothing is transposed at size.
+    """
+    max_class_id = cate_num - 1
+    front_mask, sdf_mask, fs_weight, sdf_weight = get_masks(
+        z_vals, target_d, truncation)
+
+    fs_loss2 = compute_loss(predicted_sdf * front_mask,
+                            jnp.ones_like(predicted_sdf) * front_mask,
+                            loss_type) * fs_weight
+    sdf_loss2 = compute_loss((z_vals + predicted_sdf * truncation) * sdf_mask,
+                             target_d * sdf_mask, loss_type) * sdf_weight
+
+    if emd_w > 0:
+        index_range = jnp.arange(cate_num, dtype=z_vals.dtype)
+
+        fs_all = (sdf_probT * (max_class_id - index_range)[:, None, None]
+                  * front_mask[None])
+        fs_loss1 = jnp.mean(jnp.sum(fs_all, axis=0)) / 250.0
+
+        gt_class = (((target_d - z_vals) + truncation)
+                    / (2.0 * truncation)) * max_class_id
+        sdf_all = (jnp.abs(gt_class[None] - index_range[:, None, None])
+                   * sdf_mask[None] * sdf_probT)
+        sdf_loss1 = jnp.mean(jnp.sum(sdf_all, axis=0)) / 5000.0
+
+        fs_loss = fs_loss2 + fs_loss1 * emd_w
+        sdf_loss = sdf_loss2 + sdf_loss1 * emd_w
+    else:
+        fs_loss, sdf_loss = fs_loss2, sdf_loss2
+
+    return fs_loss, sdf_loss
+
+
 # ---------------------------------------------------------------------------
 # Cross-submap consistency losses (legacy SDF-consistency global BA path,
 # ref /root/reference/helper_functions/geometry_helper.py:225-236 and

@@ -45,8 +45,11 @@ _INTERPRET = bool(_os.environ.get("MIPS_PALLAS_INTERPRET"))
 
 import os as _os
 # points per kernel instance (fwd / plane-bwd); env-overridable for
-# block-size tuning experiments (tools/ab_encoding.py workflow)
-BLOCK_N = int(_os.environ.get("MIPS_BLOCK_N", 1024))
+# block-size tuning experiments (tools/ab_encoding.py workflow).
+# v5e sweep on the 768k-pt fused fwd: 1024 = 4.10 ms / 2048 = 3.87 /
+# 4096 = 3.80; 2048 gave +6% whole-system FPS at equal ATE and leaves
+# VMEM headroom the marginal 4096 step does not.
+BLOCK_N = int(_os.environ.get("MIPS_BLOCK_N", 2048))
 BLOCK_N_UV = int(_os.environ.get("MIPS_BLOCK_N_UV", 512))
 
 

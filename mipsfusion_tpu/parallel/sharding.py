@@ -99,9 +99,13 @@ def make_sharded_map_step(mesh: Mesh, fcfg: sr.FieldConfig,
              out_shardings=(rep, rep, rep))
     def step(params, opt_state, key, rays, consts):
         def loss_fn(p):
-            ret = sr.forward_losses(
-                p, key, jnp.zeros_like(rays[:, :3]), rays[:, :3],
-                rays[:, 3:6], rays[:, 6:7], fcfg, consts)
+            # transposed training layout; the [., N] arrays keep the
+            # ray axis sharded (a transpose permutes the sharded dim,
+            # no resharding)
+            dirsT = rays[:, :3].T
+            ret = sr.forward_losses_T(
+                p, key, jnp.zeros_like(dirsT), dirsT,
+                rays[:, 3:6].T, rays[:, 6:7], fcfg, consts)
             return sr.total_loss(ret, lw)
 
         loss, g = jax.value_and_grad(loss_fn)(params)
@@ -140,9 +144,10 @@ def make_sharded_refine_step(mesh: Mesh, fcfg: sr.FieldConfig,
         consts = sr.FieldConsts(consts_lo, consts_inv)
 
         def loss_fn(p):
-            ret = sr.forward_losses(
-                p, key, jnp.zeros_like(rays[:, :3]), rays[:, :3],
-                rays[:, 3:6], rays[:, 6:7], fcfg, consts)
+            dirsT = rays[:, :3].T
+            ret = sr.forward_losses_T(
+                p, key, jnp.zeros_like(dirsT), dirsT,
+                rays[:, 3:6].T, rays[:, 6:7], fcfg, consts)
             return sr.total_loss(ret, lw)
 
         return jax.value_and_grad(loss_fn)(params)

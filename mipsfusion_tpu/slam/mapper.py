@@ -130,9 +130,10 @@ def init_submap_fit(field_params: Dict, map_opt_state, key: jax.Array,
             rays = jax.lax.with_sharding_constraint(rays, ray_sharding)
 
         def loss_fn(p):
-            ret = sr.forward_losses(p, k2, jnp.zeros_like(rays[:, :3]),
-                                    rays[:, :3], rays[:, 3:6], rays[:, 6:7],
-                                    fcfg, consts)
+            dirsT = rays[:, :3].T
+            ret = sr.forward_losses_T(p, k2, jnp.zeros_like(dirsT),
+                                      dirsT, rays[:, 3:6].T, rays[:, 6:7],
+                                      fcfg, consts)
             return sr.total_loss(ret, lw), ret
 
         (loss, ret), g = jax.value_and_grad(loss_fn, has_aux=True)(params)
@@ -251,11 +252,15 @@ def local_ba(field_params: Dict, map_opt_state, key: jax.Array,
 
         poses = qt_to_matrix(pose_params["rot"], pose_params["trans"])
         T = poses[src]                                            # [N,4,4]
-        rays_d = jnp.einsum("nj,nij->ni", rays[:, :3], T[:, :3, :3],
-                            precision=jax.lax.Precision.HIGHEST)
-        rays_o = T[:, :3, 3]
-        ret = sr.forward_losses(params, k2, rays_o, rays_d,
-                                rays[:, 3:6], rays[:, 6:7], fcfg, consts)
+        # points-minor layout for the fused training path ([3, N] rays,
+        # scene_rep.forward_losses_T): the einsum emits transposed
+        # directly; the remaining [N, .] -> [., N] flips are tiny
+        rays_dT = jnp.einsum("nj,nij->in", rays[:, :3], T[:, :3, :3],
+                             precision=jax.lax.Precision.HIGHEST)
+        rays_oT = T[:, :3, 3].T
+        ret = sr.forward_losses_T(params, k2, rays_oT, rays_dT,
+                                  rays[:, 3:6].T, rays[:, 6:7], fcfg,
+                                  consts)
         return sr.total_loss(ret, lw)
 
     def step(carry, xs):
@@ -357,10 +362,11 @@ def switch_ba(field_params: Dict, key: jax.Array, kf_rays: jnp.ndarray,
         quats = jnp.concatenate([kf_quats, p["rot"][None]], 0)
         trans = jnp.concatenate([kf_trans, p["trans"][None]], 0)
         T = qt_to_matrix(quats[src], trans[src])
-        rays_d = jnp.einsum("nj,nij->ni", rays[:, :3], T[:, :3, :3],
-                            precision=jax.lax.Precision.HIGHEST)
-        ret = sr.forward_losses(field_params, k2, T[:, :3, 3], rays_d,
-                                rays[:, 3:6], rays[:, 6:7], fcfg, consts)
+        rays_dT = jnp.einsum("nj,nij->in", rays[:, :3], T[:, :3, :3],
+                             precision=jax.lax.Precision.HIGHEST)
+        ret = sr.forward_losses_T(field_params, k2, T[:, :3, 3].T, rays_dT,
+                                  rays[:, 3:6].T, rays[:, 6:7], fcfg,
+                                  consts)
         return sr.total_loss(ret, lw)
 
     def step(carry, xs):

@@ -222,13 +222,19 @@ def go_optimize(field_params: Dict, fcfg: sr.FieldConfig,
     opt = _pose_optim(gcfg)
     opt_state0 = opt.init(params0)
 
+    # points-minor training layout (scene_rep.forward_losses_T): the
+    # camera rays and targets are fixed across iterations, so their
+    # [N, 3] -> [3, N] flips happen once per frame, outside the loop
+    rays_d_camT = rays_d_cam.T
+    target_rgbT = target_rgb.T
+
     def loss_fn(p, k):
         T = qt_to_matrix(p["rot"], p["trans"])
-        rays_d = rays_d_cam @ T[:3, :3].T
-        rays_o = jnp.broadcast_to(T[:3, 3], rays_d.shape)
-        ret = sr.forward_losses(field_params, k, rays_o, rays_d,
-                                target_rgb, target_d, fcfg, consts,
-                                emd_w=0.0)
+        rays_dT = T[:3, :3] @ rays_d_camT
+        rays_oT = jnp.broadcast_to(T[:3, 3][:, None], rays_dT.shape)
+        ret = sr.forward_losses_T(field_params, k, rays_oT, rays_dT,
+                                  target_rgbT, target_d, fcfg, consts,
+                                  emd_w=0.0)
         return sr.total_loss(ret, lw)
 
     keys = jax.random.split(key, max(n_iters, 1))
