@@ -83,6 +83,30 @@ def evaluate_synthetic_mesh(slam, n_gt_samples: int = 20000,
         norm = np.linalg.norm(grad, axis=-1, keepdims=True) + 1e-9
         pts = pts - d * grad / norm
     on_surface = np.abs(np.asarray(sdf_fn(pts))) < 5e-3
-    comp = mesh_completion(pts[on_surface], verts, tau=0.05)
+    gt_pts = pts[on_surface]
+
+    # Completion is only meaningful over OBSERVED surface: the mesher
+    # culls keyframe-unseen faces (ref Mesher.py:360-378), so GT samples
+    # the camera never saw cannot be completed by construction. Restrict
+    # GT samples with the same visibility test the mesher uses.
+    st = slam.state
+    n_kf = int(st.n_kf)
+    if n_kf and len(gt_pts):
+        from ..mesher.mesher import point_seen_mask
+        kf_ids = np.arange(n_kf)
+        kf_world = np.asarray(slam._kf_world_poses(st, kf_ids))
+        kf_max_d = np.asarray(jnp.max(st.kf_rays[:n_kf, :, 6], axis=1))
+        K_mat = np.asarray([[slam.dataset.fx, 0.0, slam.dataset.cx],
+                            [0.0, slam.dataset.fy, slam.dataset.cy],
+                            [0.0, 0.0, 1.0]])
+        seen = point_seen_mask(gt_pts, kf_world, K_mat, slam.H, slam.W,
+                               kf_max_d)
+        observed_frac = float(seen.mean())
+        gt_pts = gt_pts[seen]
+    else:
+        observed_frac = 1.0
+
+    comp = mesh_completion(gt_pts, verts, tau=0.05)
     return {"mesh_accuracy_m": acc, "mesh_completion@5cm": comp,
+            "gt_observed_frac": observed_frac,
             "n_vertices": int(len(verts))}
