@@ -69,12 +69,31 @@ def scene_sdf(p: jnp.ndarray, room_half: jnp.ndarray) -> jnp.ndarray:
 
 
 def scene_albedo(p: jnp.ndarray) -> jnp.ndarray:
-    """Smooth procedural color field in [0,1]^3."""
-    return 0.5 + 0.5 * jnp.stack([
+    """Procedural color field in [0,1]^3: smooth base + two higher-
+    frequency octaves (~0.8 m and ~0.25 m wavelength).
+
+    The reference's benchmark data (FastCaMo / Replica / ScanNet) is
+    textured indoor imagery; a texture-poor albedo makes photometric
+    pose refinement unobservable along walls (the sliding null space),
+    which tests the scene, not the tracker. The octaves restore the
+    texture gradients real sequences have while keeping the field
+    exactly representable (smooth, bounded)."""
+    base = jnp.stack([
         jnp.sin(1.7 * p[..., 0] + 0.5 * p[..., 1]),
         jnp.sin(1.3 * p[..., 1] + 0.7 * p[..., 2] + 2.0),
         jnp.sin(1.1 * p[..., 2] + 0.9 * p[..., 0] + 4.0),
     ], axis=-1)
+    mid = jnp.stack([
+        jnp.sin(7.9 * p[..., 0] + 5.3 * p[..., 2]),
+        jnp.sin(6.7 * p[..., 1] + 7.1 * p[..., 0] + 1.0),
+        jnp.sin(7.3 * p[..., 2] + 6.1 * p[..., 1] + 3.0),
+    ], axis=-1)
+    fine = jnp.stack([
+        jnp.sin(24.0 * p[..., 0] + 19.0 * p[..., 1] + 1.3),
+        jnp.sin(21.0 * p[..., 1] + 23.0 * p[..., 2] + 4.1),
+        jnp.sin(26.0 * p[..., 2] + 20.0 * p[..., 0] + 2.2),
+    ], axis=-1)
+    return 0.5 + 0.3 * base + 0.14 * mid + 0.06 * fine
 
 
 @partial(jax.jit, static_argnames=("n_steps",))

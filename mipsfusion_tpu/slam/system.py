@@ -209,6 +209,11 @@ class MIPSFusionTPU:
 
         # host-side trackers
         self.track_losses: List[float] = []
+        self.track_accepted: List = []
+        # pose-gate state: EWMA of accepted tracking losses (device
+        # scalar; -1 = unseeded). Reset at submap switches, where the
+        # loss distribution legitimately changes.
+        self._loss_ewma = jnp.asarray(-1.0, jnp.float32)
         self.last_switch_frame = 0
         self._gt_cache: Dict[int, np.ndarray] = {}
 
@@ -420,11 +425,14 @@ class MIPSFusionTPU:
             st.est_c2w, st.est_c2w_rel, st.keyframe_ref, i, use_cs,
             bool(switch_tracking), st.active_first_kf, self.lw,
             n_ro, n_go, self.keyframe_every,
-            from_current=bool(switch_tracking))
+            from_current=bool(switch_tracking),
+            loss_ewma=self._loss_ewma)
         self.state = st._replace(est_c2w=upd.est_c2w,
                                  est_c2w_rel=upd.est_c2w_rel,
                                  keyframe_ref=upd.keyframe_ref)
+        self._loss_ewma = upd.loss_ewma       # device scalar, no sync
         self.track_losses.append(upd.loss)
+        self.track_accepted.append(upd.accepted)
 
     def _make_ba_step(self, optim_cur: bool):
         """Build the fused local-BA step (mask + pose extraction + BA
@@ -500,6 +508,7 @@ class MIPSFusionTPU:
         self.active_id = new_id
         self._host_used = max(self._host_used, new_id + 1)
         self.last_switch_frame = i
+        self._loss_ewma = jnp.asarray(-1.0, jnp.float32)  # new loss regime
         st = st._replace(active_first_kf=jnp.asarray(kf_id, jnp.int32),
                          last_switch_frame=jnp.asarray(i, jnp.int32))
         self.state = st
@@ -533,6 +542,7 @@ class MIPSFusionTPU:
         self.state = st
         self.optim_cur = True
         self.inactive_started = True
+        self._loss_ewma = jnp.asarray(-1.0, jnp.float32)  # new loss regime
 
     def local_ba_switch(self, frame: Dict, kf_id: int, i: int):
         """Pose-only BA of the loop keyframe vs the switched-to submap

@@ -59,10 +59,22 @@ class ROConfig:
 
 def make_pst(key: jax.Array, cfg: ROConfig) -> jnp.ndarray:
     """Pre-sampled particle swarm template [P, 6] ~ N(0, I), clamped to
-    +-2, particle 0 pinned to identity (ref RandomOptimizer.py:26-32)."""
-    pst = jax.random.normal(key, (cfg.particle_size, 6))
-    pst = jnp.clip(pst, -2.0, 2.0)
-    return pst.at[0].set(0.0)
+    +-2, particle 0 pinned to identity (ref RandomOptimizer.py:26-32).
+
+    Drawn as ANTITHETIC pairs (+z, -z): the reference's raw draw leaves
+    the template with a nonzero sample mean (~1/sqrt(P) per axis), and
+    because the same template is reused every iteration of every frame,
+    that bias pushes the weighted-mean APS update in one fixed direction
+    all sequence long — template-seed luck decided whether a trajectory
+    drifted. Pairing zeroes the sample mean by construction (clip is
+    odd, so the clamp preserves the symmetry)."""
+    P = cfg.particle_size
+    pairs = (P - 1) // 2
+    z = jnp.clip(jax.random.normal(key, (pairs, 6)), -2.0, 2.0)
+    # 1-2 identity rows (particle 0, plus a pad row when P is even —
+    # identity particles carry zero APS weight, so duplicates are inert)
+    zeros = jnp.zeros((P - 2 * pairs, 6))
+    return jnp.concatenate([zeros, z, -z], axis=0)
 
 
 def ro_pixel_grid(H: int, W: int, cfg: ROConfig):
@@ -181,16 +193,33 @@ class GOConfig:
     best: bool = True
     wait_iters: int = 100   # early stop after this many non-improving
                             # iters (ref mipsfusion.py:552, config :62)
+    # Robustness beyond the reference (which accepts the GO pose
+    # unconditionally, ref mipsfusion.py:558):
+    #  * motion_prior_w: quadratic anchor of the GO pose to the
+    #    constant-velocity prediction — restores observability in the
+    #    photometric null space (texture-poor walls, pure-forward
+    #    motion). 0 disables.
+    #  * gate_rel/gate_abs: device-side pose acceptance gate — if the
+    #    post-GO loss exceeds gate_rel x the running loss EWMA (and
+    #    gate_abs), the frame keeps the motion-model pose instead of a
+    #    basin-escaped estimate. 0 disables.
+    motion_prior_w: float = 0.0
+    gate_rel: float = 0.0
+    gate_abs: float = 0.0
 
     @staticmethod
     def from_dict(cfg: dict) -> "GOConfig":
         t = cfg["tracking"]
+        gate = t.get("pose_gate", {}) or {}
         return GOConfig(n_iters=t["iter"], n_rays=t["sample"],
                         lr_rot=t["lr_rot"], lr_trans=t["lr_trans"],
                         ignore_edge_w=t["ignore_edge_W"],
                         ignore_edge_h=t["ignore_edge_H"],
                         best=bool(t["best"]),
-                        wait_iters=int(t.get("wait_iters", 100)))
+                        wait_iters=int(t.get("wait_iters", 100)),
+                        motion_prior_w=float(t.get("motion_prior_w", 0.0)),
+                        gate_rel=float(gate.get("rel", 0.0)),
+                        gate_abs=float(gate.get("abs", 0.0)))
 
 
 def _pose_optim(gcfg: GOConfig):
@@ -204,7 +233,9 @@ def go_optimize(field_params: Dict, fcfg: sr.FieldConfig,
                 key: jax.Array, rays_d_cam: jnp.ndarray,
                 target_rgb: jnp.ndarray, target_d: jnp.ndarray,
                 initial_pose: jnp.ndarray, n_iters: int,
-                lw: sr.LossWeights) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                lw: sr.LossWeights,
+                prior_pose: jnp.ndarray = None
+                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Gradient refinement of a pose against fixed sampled rays.
 
     Mirrors the GO stage of tracking_render (ref mipsfusion.py:490-563):
@@ -228,6 +259,11 @@ def go_optimize(field_params: Dict, fcfg: sr.FieldConfig,
     rays_d_camT = rays_d_cam.T
     target_rgbT = target_rgb.T
 
+    if gcfg.motion_prior_w > 0.0:
+        prior = initial_pose if prior_pose is None else prior_pose
+        q_prior = matrix_to_quaternion(prior[:3, :3])
+        t_prior = prior[:3, 3]
+
     def loss_fn(p, k):
         T = qt_to_matrix(p["rot"], p["trans"])
         rays_dT = T[:3, :3] @ rays_d_camT
@@ -235,7 +271,16 @@ def go_optimize(field_params: Dict, fcfg: sr.FieldConfig,
         ret = sr.forward_losses_T(field_params, k, rays_oT, rays_dT,
                                   target_rgbT, target_d, fcfg, consts,
                                   emd_w=0.0)
-        return sr.total_loss(ret, lw)
+        loss = sr.total_loss(ret, lw)
+        if gcfg.motion_prior_w > 0.0:
+            # quadratic anchor to the motion-model prediction: meters^2
+            # for translation; the sign-invariant quaternion term is
+            # ~theta^2/4 for small angles (comparable scale)
+            q = p["rot"] / (jnp.linalg.norm(p["rot"]) + 1e-9)
+            d = jnp.sum(q * q_prior) ** 2
+            loss = loss + gcfg.motion_prior_w * (
+                jnp.sum((p["trans"] - t_prior) ** 2) + (1.0 - d))
+        return loss
 
     keys = jax.random.split(key, max(n_iters, 1))
 
@@ -306,6 +351,9 @@ def sample_pixels_mix(key: jax.Array, H: int, W: int, n_rows: int,
 class TrackResult(NamedTuple):
     pose: jnp.ndarray
     loss: jnp.ndarray
+    loss_ewma: jnp.ndarray   # running accepted-loss EWMA (gate state)
+    accepted: jnp.ndarray    # bool: False = pose gate fell back to the
+                             # motion-model prediction
 
 
 class TrackUpdate(NamedTuple):
@@ -314,6 +362,8 @@ class TrackUpdate(NamedTuple):
     keyframe_ref: jnp.ndarray
     pose: jnp.ndarray
     loss: jnp.ndarray
+    loss_ewma: jnp.ndarray
+    accepted: jnp.ndarray
 
 
 @partial(jax.jit, static_argnames=("fcfg", "rcfg", "gcfg", "n_iter_ro",
@@ -327,7 +377,8 @@ def track_frame_update(field_params: Dict, fcfg: sr.FieldConfig,
                        frame_idx, use_const_speed, switch_tracking,
                        active_first_kf, lw: sr.LossWeights, n_iter_ro: int,
                        n_iter_go: int, keyframe_every: int,
-                       from_current: bool = False) -> TrackUpdate:
+                       from_current: bool = False,
+                       loss_ewma: jnp.ndarray = None) -> TrackUpdate:
     """Track frame ``frame_idx`` AND commit the pose-store bookkeeping
     (ref mipsfusion.py:470-576 including the :558-576 epilogue) in one
     jitted dispatch.
@@ -339,11 +390,13 @@ def track_frame_update(field_params: Dict, fcfg: sr.FieldConfig,
     """
     frame_idx = jnp.asarray(frame_idx, jnp.int32)
     key = jax.random.fold_in(base_key, frame_idx)
+    if loss_ewma is None:
+        loss_ewma = jnp.asarray(-1.0, jnp.float32)
     res = track_frame(field_params, fcfg, consts, rcfg, gcfg, pst, key,
                       packed_frame[..., 3:6], packed_frame[..., 6],
                       packed_frame[..., :3], est_c2w, frame_idx,
                       use_const_speed, lw, n_iter_ro, n_iter_go,
-                      from_current=from_current)
+                      from_current=from_current, loss_ewma=loss_ewma)
 
     # pose-store epilogue (ref mipsfusion.py:558-576)
     kf_id = frame_idx // keyframe_every
@@ -361,7 +414,8 @@ def track_frame_update(field_params: Dict, fcfg: sr.FieldConfig,
     keyframe_ref = keyframe_ref.at[kf_id].set(ref_new)
     return TrackUpdate(est_c2w=est_c2w, est_c2w_rel=est_c2w_rel,
                        keyframe_ref=keyframe_ref, pose=res.pose,
-                       loss=res.loss)
+                       loss=res.loss, loss_ewma=res.loss_ewma,
+                       accepted=res.accepted)
 
 
 @partial(jax.jit, static_argnames=("fcfg", "rcfg", "gcfg", "n_iter_ro",
@@ -373,7 +427,8 @@ def track_frame(field_params: Dict, fcfg: sr.FieldConfig,
                 rays_dir_img: jnp.ndarray, est_c2w: jnp.ndarray,
                 frame_idx: jnp.ndarray, use_const_speed: jnp.ndarray,
                 lw: sr.LossWeights, n_iter_ro: int, n_iter_go: int,
-                from_current: bool = False) -> TrackResult:
+                from_current: bool = False,
+                loss_ewma: jnp.ndarray = None) -> TrackResult:
     """Full per-frame tracking: motion model -> RO -> GO. One jitted call.
 
     Mirrors tracking_render (ref mipsfusion.py:470-563) with the
@@ -414,5 +469,26 @@ def track_frame(field_params: Dict, fcfg: sr.FieldConfig,
 
     pose, loss = go_optimize(field_params, fcfg, consts, gcfg, k_go,
                              rays_d_cam, target_rgb, target_d, pose,
-                             n_iter_go, lw)
-    return TrackResult(pose=pose, loss=loss)
+                             n_iter_go, lw, prior_pose=pred)
+
+    if loss_ewma is None:
+        loss_ewma = jnp.asarray(-1.0, jnp.float32)
+    if gcfg.gate_rel > 0.0:
+        # pose acceptance gate: a loss far above the running EWMA of
+        # accepted losses marks a basin escape — keep the motion-model
+        # prediction for this frame instead. Rejections inflate the
+        # EWMA so a genuine regime change re-opens the gate within a
+        # few frames rather than locking out forever.
+        seeded = loss_ewma > 0.0
+        ok = (~seeded) | (loss <= gcfg.gate_abs) \
+            | (loss <= gcfg.gate_rel * loss_ewma)
+        pose = jnp.where(ok, pose, pred)
+        ewma_upd = jnp.where(seeded, 0.9 * loss_ewma + 0.1 * loss, loss)
+        loss_ewma = jnp.where(ok, ewma_upd, loss_ewma * 1.25)
+        accepted = ok
+    else:
+        seeded = loss_ewma > 0.0
+        loss_ewma = jnp.where(seeded, 0.9 * loss_ewma + 0.1 * loss, loss)
+        accepted = jnp.asarray(True)
+    return TrackResult(pose=pose, loss=loss, loss_ewma=loss_ewma,
+                       accepted=accepted)
