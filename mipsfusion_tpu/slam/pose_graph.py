@@ -94,20 +94,25 @@ def build_pose_graph_problem(first_kf_poses: jnp.ndarray,
     Static shapes: E = M*(M-1)/2 + 1 with zero-weight padding for
     non-adjacent pairs.
     """
-    M = first_kf_poses.shape[0]
-    pairs = [(i, j) for i in range(M) for j in range(i + 1, M)]
-    edges = jnp.asarray(pairs + [list(key_edge)], jnp.int32)
-
-    def rel(i, j):
-        # observation Z with residual log(Z n_i^-1 n_j): Z = n_j^-1 n_i
-        return _mm(pose_inverse(first_kf_poses[j]), first_kf_poses[i])
-
-    rels = jnp.stack([rel(i, j) for i, j in pairs] + [key_rel_pose])
     import numpy as np
+    M = first_kf_poses.shape[0]
+    pairs = np.asarray([(i, j) for i in range(M) for j in range(i + 1, M)],
+                       np.int32).reshape(-1, 2)
+    edges = jnp.asarray(np.concatenate(
+        [pairs, np.asarray([key_edge], np.int32)], axis=0))
+
+    # observation Z with residual log(Z n_i^-1 n_j): Z = n_j^-1 n_i —
+    # ONE batched gather + vmapped product (a per-pair Python loop costs
+    # ~3 eager dispatches x M(M-1)/2 pairs over the device link)
+    Pi = first_kf_poses[jnp.asarray(pairs[:, 0])]
+    Pj = first_kf_poses[jnp.asarray(pairs[:, 1])]
+    rels_pairs = jax.vmap(lambda a, b: _mm(pose_inverse(b), a))(Pi, Pj)
+    rels = jnp.concatenate([rels_pairs, key_rel_pose[None]], axis=0)
+
     adj = np.asarray(adjacency)
-    w = np.asarray([
-        1.0 if (adj[i, j] > 0 and i < n_used and j < n_used) else 0.0
-        for i, j in pairs], np.float32)
+    w = ((adj[pairs[:, 0], pairs[:, 1]] > 0)
+         & (pairs[:, 0] < n_used) & (pairs[:, 1] < n_used)
+         ).astype(np.float32)
     weights = jnp.concatenate(
         [jnp.asarray(w), jnp.asarray([key_edge_weight], jnp.float32)])
     return edges, rels, weights

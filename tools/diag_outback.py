@@ -69,6 +69,17 @@ def main():
 
         setattr(slam, name, spy)
 
+    mgr_orig = slam.manager.process_keyframe
+
+    def mgr_spy(*a, **kw):
+        t0 = time.perf_counter()
+        r = mgr_orig(*a, **kw)
+        jax.block_until_ready(slam.state.est_c2w)
+        events.append(("manager", len(per_ms), time.perf_counter() - t0))
+        return r
+
+    slam.manager.process_keyframe = mgr_spy
+
     def frame(i):
         return {"frame_id": i, "c2w": ds.gt_pose(i)}
 
