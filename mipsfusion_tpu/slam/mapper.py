@@ -249,6 +249,12 @@ def local_ba(field_params: Dict, map_opt_state, key: jax.Array,
         rays = jnp.where(from_cur[:, None],
                          cur_rays[cur_idx],
                          kf_rays[kf_src, ray_idx])
+        if ray_sharding is not None:
+            # shard the per-iteration batch (and its pose-slot indices)
+            # across the mesh's data axis; params stay replicated, so
+            # the map + pose gradient all-reduce rides ICI
+            rays = jax.lax.with_sharding_constraint(rays, ray_sharding)
+            src = jax.lax.with_sharding_constraint(src, ray_sharding)
 
         poses = qt_to_matrix(pose_params["rot"], pose_params["trans"])
         T = poses[src]                                            # [N,4,4]

@@ -43,6 +43,170 @@ from . import state as slam_state
 from . import tracker
 
 
+def _anchor_of(st: slam_state.SlamState, submap_id) -> jnp.ndarray:
+    return st.kf_c2w[st.localMLP_first_kf[submap_id]]
+
+
+def _extract_submap_kf_poses(st: slam_state.SlamState, submap_id,
+                             kf_frames: jnp.ndarray) -> jnp.ndarray:
+    """Local poses of every keyframe slot in submap_id's frame.
+
+    Vectorized extract_localMLP_vars steps 4.1-4.3
+    (ref keyframeSet.py:472-515): ordinary kfs use est_c2w directly
+    (valid when their first binding == submap_id); first kfs of
+    OTHER submaps convert from their world anchor; overlapping kfs
+    whose first binding differs convert via both anchors.
+    """
+    poses = st.est_c2w[kf_frames]                      # [K,4,4]
+    anchor = _anchor_of(st, submap_id)
+    anchor_inv = pose_inverse(anchor)
+
+    kf_ref = st.keyframe_ref
+    first_kf = st.localMLP_first_kf[submap_id]
+    idx = jnp.arange(poses.shape[0])
+
+    # first kfs of other submaps: local = anchor^-1 @ world
+    world = st.kf_c2w[jnp.clip(idx, 0, st.kf_c2w.shape[0] - 1)]
+    from_world = jnp.einsum("ij,kjl->kil", anchor_inv, world,
+                            precision=jax.lax.Precision.HIGHEST)
+    is_other_first = (kf_ref == -1) & (idx != first_kf)
+    poses = jnp.where(is_other_first[:, None, None], from_world, poses)
+
+    # overlapping kfs bound first to another submap: convert via the
+    # first-bound submap's anchor
+    first_bind = st.keyframe_localMLP[:, 0]
+    other_anchor = st.kf_c2w[st.localMLP_first_kf[
+        jnp.clip(first_bind, 0, st.localMLP_first_kf.shape[0] - 1)]]
+    world_ovlp = jnp.einsum("kij,kjl->kil", other_anchor,
+                            st.est_c2w[kf_frames],
+                            precision=jax.lax.Precision.HIGHEST)
+    local_ovlp = jnp.einsum("ij,kjl->kil", anchor_inv, world_ovlp,
+                            precision=jax.lax.Precision.HIGHEST)
+    is_ovlp_other = (kf_ref == -2) & (first_bind != submap_id)
+    poses = jnp.where(is_ovlp_other[:, None, None], local_ovlp, poses)
+
+    # the submap's own first keyframe: identity in its own frame
+    poses = jnp.where((idx == first_kf)[:, None, None],
+                      jnp.eye(4, dtype=poses.dtype)[None], poses)
+    return poses
+
+
+def _writeback_ba_poses(st: slam_state.SlamState, submap_id,
+                        kf_mask: jnp.ndarray, opt_poses: jnp.ndarray,
+                        kf_frames: jnp.ndarray) -> slam_state.SlamState:
+    """Write optimized kf poses back by type (ref mipsfusion.py:344-367)."""
+    kf_ref = st.keyframe_ref
+    first_kf = st.localMLP_first_kf[submap_id]
+    idx = jnp.arange(opt_poses.shape[0])
+    anchor = _anchor_of(st, submap_id)
+    upd = kf_mask & (idx != first_kf)
+
+    # ordinary kfs: est_c2w[frame] = optimized local pose
+    ordinary = upd & (kf_ref >= 0)
+
+    # overlapping kfs first-bound to this submap: same
+    first_bind = st.keyframe_localMLP[:, 0]
+    ovlp_here = upd & (kf_ref == -2) & (first_bind == submap_id)
+
+    # overlapping kfs first-bound elsewhere: convert to that frame
+    world = jnp.einsum("ij,kjl->kil", anchor, opt_poses,
+                       precision=jax.lax.Precision.HIGHEST)
+    other_anchor_inv = pose_inverse(st.kf_c2w[st.localMLP_first_kf[
+        jnp.clip(first_bind, 0, st.localMLP_first_kf.shape[0] - 1)]])
+    local_other = jnp.einsum("kij,kjl->kil", other_anchor_inv, world,
+                             precision=jax.lax.Precision.HIGHEST)
+    ovlp_other = upd & (kf_ref == -2) & (first_bind != submap_id)
+
+    new_frame_pose = jnp.where(
+        (ordinary | ovlp_here)[:, None, None], opt_poses,
+        jnp.where(ovlp_other[:, None, None], local_other,
+                  st.est_c2w[kf_frames]))
+    est_c2w = st.est_c2w.at[kf_frames].set(new_frame_pose)
+
+    # first kfs of other submaps: update their world anchors
+    other_first = upd & (kf_ref == -1)
+    new_kf_c2w = jnp.where(other_first[:, None, None], world,
+                           st.kf_c2w[jnp.clip(
+                               idx, 0, st.kf_c2w.shape[0] - 1)])
+    kf_c2w = st.kf_c2w.at[jnp.clip(
+        idx, 0, st.kf_c2w.shape[0] - 1)].set(new_kf_c2w)
+    return st._replace(est_c2w=est_c2w, kf_c2w=kf_c2w)
+
+
+# Jitted per-stage step programs, shared ACROSS system instances: the
+# steps close over only hashable static configs, with all device data
+# (state, params, consts, PRNG keys) passed as arguments. A fresh
+# MIPSFusionTPU (benchmark passes, --resume restarts, multi-sequence
+# batch jobs) therefore reuses the already-compiled executables instead
+# of paying a multi-second compile-cache reload per big program.
+_STEP_CACHE: Dict = {}
+
+_extract_poses_jit = jax.jit(_extract_submap_kf_poses)
+_writeback_jit = jax.jit(_writeback_ba_poses)
+
+
+def _get_ba_step(fcfg, mcfg, lw, n_rays, ray_sharding):
+    ck = ("ba", fcfg, mcfg, lw, n_rays, ray_sharding)
+    fn = _STEP_CACHE.get(ck)
+    if fn is not None:
+        return fn
+
+    def step(st, params, opt_state, cur_rays, i, consts, ba_key,
+             kf_frames):
+        active = st.active_submap_id
+        kf_mask = slam_state.submap_kf_mask(st, active)
+        first_kf = st.localMLP_first_kf[active]
+        last_kf = jnp.max(
+            jnp.where(kf_mask, jnp.arange(kf_mask.shape[0]), -1))
+        poses_local = _extract_submap_kf_poses(st, active, kf_frames)
+        key = jax.random.fold_in(ba_key, i)
+        res = mapper.local_ba(
+            params, opt_state, key, st.kf_rays, kf_mask, first_kf,
+            last_kf, poses_local, cur_rays, st.est_c2w[i], fcfg, consts,
+            mcfg, lw, n_rays, ray_sharding=ray_sharding)
+        opt_poses = qt_to_matrix(res.kf_quat, res.kf_trans)
+        st = _writeback_ba_poses(st, active, kf_mask, opt_poses, kf_frames)
+        if mcfg.optim_cur:
+            st = st._replace(est_c2w=st.est_c2w.at[i].set(
+                qt_to_matrix(res.cur_quat, res.cur_trans)))
+        return st, res.field_params, res.map_opt_state
+
+    fn = jax.jit(step)
+    _STEP_CACHE[ck] = fn
+    return fn
+
+
+def _get_refine_step(fcfg, mcfg, lw, n_rays, ray_sharding):
+    ck = ("refine", fcfg, mcfg, lw, n_rays, ray_sharding)
+    fn = _STEP_CACHE.get(ck)
+    if fn is not None:
+        return fn
+    map_opt = mapper.make_map_optimizer(mcfg)
+
+    def step(st, params, kf_mask, m, i, consts, refine_key, kf_frames):
+        first_kf = st.localMLP_first_kf[m]
+        last_kf = jnp.max(
+            jnp.where(kf_mask, jnp.arange(kf_mask.shape[0]), -1))
+        poses_local = _extract_submap_kf_poses(st, m, kf_frames)
+        # fresh optimizer per round (the reference creates one per
+        # call, ref InactiveMap.py:213)
+        opt_state = map_opt.init(params)
+        key = jax.random.fold_in(refine_key, i)
+        dummy_cur = jnp.zeros((8, 7))
+        res = mapper.local_ba(
+            params, opt_state, key, st.kf_rays, kf_mask, first_kf,
+            last_kf, poses_local, dummy_cur, jnp.eye(4), fcfg, consts,
+            mcfg, lw, n_rays, include_current=False,
+            ray_sharding=ray_sharding)
+        opt_poses = qt_to_matrix(res.kf_quat, res.kf_trans)
+        st = _writeback_ba_poses(st, m, kf_mask, opt_poses, kf_frames)
+        return st, res.field_params
+
+    fn = jax.jit(step)
+    _STEP_CACHE[ck] = fn
+    return fn
+
+
 class MIPSFusionTPU:
     """Online multi-implicit-submap RGB-D SLAM on TPU."""
 
@@ -188,11 +352,11 @@ class MIPSFusionTPU:
 
         # jitted wrappers over pure state->array helpers (eager per-op
         # dispatch through the remote-TPU tunnel is the alternative)
-        self._extract_poses_jit = jax.jit(self.extract_submap_kf_poses)
-        self._writeback_jit = jax.jit(self.writeback_ba_poses)
-        # fused per-stage steps (built lazily; one jit per static variant)
-        self._ba_steps: Dict[bool, object] = {}
-        self._refine_step_jit = None
+        self._kf_frames_dev = jnp.asarray(self._kf_frames())
+        self._extract_poses_jit = lambda st, m: _extract_poses_jit(
+            st, m, self._kf_frames_dev)
+        self._writeback_jit = lambda st, m, mask, poses: _writeback_jit(
+            st, m, mask, poses, self._kf_frames_dev)
         # per-stage base PRNG keys: the per-frame key is derived on
         # device (fold_in) inside the jitted steps — no per-frame
         # host-side splits or uploads
@@ -276,89 +440,14 @@ class MIPSFusionTPU:
 
     def extract_submap_kf_poses(self, st: slam_state.SlamState,
                                 submap_id: int) -> jnp.ndarray:
-        """Local poses of every keyframe slot in submap_id's frame.
-
-        Vectorized extract_localMLP_vars steps 4.1-4.3
-        (ref keyframeSet.py:472-515): ordinary kfs use est_c2w directly
-        (valid when their first binding == submap_id); first kfs of
-        OTHER submaps convert from their world anchor; overlapping kfs
-        whose first binding differs convert via both anchors.
-        """
-        kf_frames = jnp.asarray(self._kf_frames())
-        poses = st.est_c2w[kf_frames]                      # [K,4,4]
-        anchor = self._anchor(st, submap_id)
-        anchor_inv = pose_inverse(anchor)
-
-        kf_ref = st.keyframe_ref
-        first_kf = st.localMLP_first_kf[submap_id]
-        idx = jnp.arange(poses.shape[0])
-
-        # first kfs of other submaps: local = anchor^-1 @ world
-        world = st.kf_c2w[jnp.clip(idx, 0, st.kf_c2w.shape[0] - 1)]
-        from_world = jnp.einsum("ij,kjl->kil", anchor_inv, world,
-                                precision=jax.lax.Precision.HIGHEST)
-        is_other_first = (kf_ref == -1) & (idx != first_kf)
-        poses = jnp.where(is_other_first[:, None, None], from_world, poses)
-
-        # overlapping kfs bound first to another submap: convert via the
-        # first-bound submap's anchor
-        first_bind = st.keyframe_localMLP[:, 0]
-        other_anchor = st.kf_c2w[st.localMLP_first_kf[
-            jnp.clip(first_bind, 0, st.localMLP_first_kf.shape[0] - 1)]]
-        world_ovlp = jnp.einsum("kij,kjl->kil", other_anchor,
-                                st.est_c2w[kf_frames],
-                                precision=jax.lax.Precision.HIGHEST)
-        local_ovlp = jnp.einsum("ij,kjl->kil", anchor_inv, world_ovlp,
-                                precision=jax.lax.Precision.HIGHEST)
-        is_ovlp_other = (kf_ref == -2) & (first_bind != submap_id)
-        poses = jnp.where(is_ovlp_other[:, None, None], local_ovlp, poses)
-
-        # the submap's own first keyframe: identity in its own frame
-        poses = jnp.where((idx == first_kf)[:, None, None],
-                          jnp.eye(4, dtype=poses.dtype)[None], poses)
-        return poses
+        return _extract_submap_kf_poses(st, submap_id,
+                                        jnp.asarray(self._kf_frames()))
 
     def writeback_ba_poses(self, st: slam_state.SlamState, submap_id: int,
                            kf_mask: jnp.ndarray, opt_poses: jnp.ndarray
                            ) -> slam_state.SlamState:
-        """Write optimized kf poses back by type (ref mipsfusion.py:344-367)."""
-        kf_frames = jnp.asarray(self._kf_frames())
-        kf_ref = st.keyframe_ref
-        first_kf = st.localMLP_first_kf[submap_id]
-        idx = jnp.arange(opt_poses.shape[0])
-        anchor = self._anchor(st, submap_id)
-        upd = kf_mask & (idx != first_kf)
-
-        # ordinary kfs: est_c2w[frame] = optimized local pose
-        ordinary = upd & (kf_ref >= 0)
-
-        # overlapping kfs first-bound to this submap: same
-        first_bind = st.keyframe_localMLP[:, 0]
-        ovlp_here = upd & (kf_ref == -2) & (first_bind == submap_id)
-
-        # overlapping kfs first-bound elsewhere: convert to that frame
-        world = jnp.einsum("ij,kjl->kil", anchor, opt_poses,
-                           precision=jax.lax.Precision.HIGHEST)
-        other_anchor_inv = pose_inverse(st.kf_c2w[st.localMLP_first_kf[
-            jnp.clip(first_bind, 0, st.localMLP_first_kf.shape[0] - 1)]])
-        local_other = jnp.einsum("kij,kjl->kil", other_anchor_inv, world,
-                                 precision=jax.lax.Precision.HIGHEST)
-        ovlp_other = upd & (kf_ref == -2) & (first_bind != submap_id)
-
-        new_frame_pose = jnp.where(
-            (ordinary | ovlp_here)[:, None, None], opt_poses,
-            jnp.where(ovlp_other[:, None, None], local_other,
-                      st.est_c2w[kf_frames]))
-        est_c2w = st.est_c2w.at[kf_frames].set(new_frame_pose)
-
-        # first kfs of other submaps: update their world anchors
-        other_first = upd & (kf_ref == -1)
-        new_kf_c2w = jnp.where(other_first[:, None, None], world,
-                               st.kf_c2w[jnp.clip(
-                                   idx, 0, st.kf_c2w.shape[0] - 1)])
-        kf_c2w = st.kf_c2w.at[jnp.clip(
-            idx, 0, st.kf_c2w.shape[0] - 1)].set(new_kf_c2w)
-        return st._replace(est_c2w=est_c2w, kf_c2w=kf_c2w)
+        return _writeback_ba_poses(st, submap_id, kf_mask, opt_poses,
+                                   jnp.asarray(self._kf_frames()))
 
     # ------------------------------------------------------------------
     # stages
@@ -434,47 +523,22 @@ class MIPSFusionTPU:
         self.track_losses.append(upd.loss)
         self.track_accepted.append(upd.accepted)
 
-    def _make_ba_step(self, optim_cur: bool):
-        """Build the fused local-BA step (mask + pose extraction + BA
-        scan + pose write-back in one jitted call)."""
+    def do_local_ba(self, frame: Dict, i: int):
+        """Local BA on the active submap (ref :259-370). ONE dispatch
+        (the fused step: mask + pose extraction + BA scan + pose
+        write-back; shared across instances via _STEP_CACHE)."""
+        cur_rays = self._packed(frame).reshape(-1, 7)
+        optim_cur = bool(self.optim_cur or self.mcfg.optim_cur)
         mcfg = self.mcfg
         if optim_cur and not mcfg.optim_cur:
             mcfg = mapper.MapConfig(**{**mcfg.__dict__, "optim_cur": True})
-
-        def step(st, params, opt_state, cur_rays, i):
-            active = st.active_submap_id
-            kf_mask = slam_state.submap_kf_mask(st, active)
-            first_kf = st.localMLP_first_kf[active]
-            last_kf = jnp.max(
-                jnp.where(kf_mask, jnp.arange(kf_mask.shape[0]), -1))
-            poses_local = self.extract_submap_kf_poses(st, active)
-            key = jax.random.fold_in(self._ba_key, i)
-            res = mapper.local_ba(
-                params, opt_state, key, st.kf_rays, kf_mask, first_kf,
-                last_kf, poses_local, cur_rays, st.est_c2w[i],
-                self.fcfg, self.consts, mcfg, self.lw,
-                self._round_rays(mcfg.sample + mcfg.pixels_cur),
-                ray_sharding=self._ray_sharding)
-            opt_poses = qt_to_matrix(res.kf_quat, res.kf_trans)
-            st = self.writeback_ba_poses(st, active, kf_mask, opt_poses)
-            if optim_cur:
-                st = st._replace(est_c2w=st.est_c2w.at[i].set(
-                    qt_to_matrix(res.cur_quat, res.cur_trans)))
-            return st, res.field_params, res.map_opt_state
-
-        return jax.jit(step)
-
-    def do_local_ba(self, frame: Dict, i: int):
-        """Local BA on the active submap (ref :259-370). ONE dispatch."""
-        cur_rays = self._packed(frame).reshape(-1, 7)
-        optim_cur = bool(self.optim_cur or self.mcfg.optim_cur)
-        step = self._ba_steps.get(optim_cur)
-        if step is None:
-            step = self._ba_steps.setdefault(
-                optim_cur, self._make_ba_step(optim_cur))
+        step = _get_ba_step(self.fcfg, mcfg, self.lw,
+                            self._round_rays(mcfg.sample + mcfg.pixels_cur),
+                            self._ray_sharding)
         st, params, opt_state = step(
             self.state, self.submap_params[self.active_id],
-            self.map_opt_state, cur_rays, i)
+            self.map_opt_state, cur_rays, i, self.consts, self._ba_key,
+            self._kf_frames_dev)
         self.state = st
         self.submap_params[self.active_id] = params
         self.map_opt_state = opt_state
@@ -765,29 +829,6 @@ class MIPSFusionTPU:
     # :203-307) + global BA (PGO)
     # ------------------------------------------------------------------
 
-    def _make_refine_step(self):
-        def step(st, params, kf_mask, m, i):
-            first_kf = st.localMLP_first_kf[m]
-            last_kf = jnp.max(
-                jnp.where(kf_mask, jnp.arange(kf_mask.shape[0]), -1))
-            poses_local = self.extract_submap_kf_poses(st, m)
-            # fresh optimizer per round (the reference creates one per
-            # call, ref InactiveMap.py:213)
-            opt_state = self.map_opt.init(params)
-            key = jax.random.fold_in(self._refine_key, i)
-            dummy_cur = jnp.zeros((8, 7))
-            res = mapper.local_ba(
-                params, opt_state, key, st.kf_rays, kf_mask, first_kf,
-                last_kf, poses_local, dummy_cur, jnp.eye(4), self.fcfg,
-                self.consts, self.mcfg, self.lw,
-                self._round_rays(self.mcfg.sample),
-                include_current=False, ray_sharding=self._ray_sharding)
-            opt_poses = qt_to_matrix(res.kf_quat, res.kf_trans)
-            st = self.writeback_ba_poses(st, m, kf_mask, opt_poses)
-            return st, res.field_params
-
-        return jax.jit(step)
-
     def _make_sharded_refine_step(self, mi: int):
         """Jitted sharded refinement of ``mi`` stacked inactive submaps:
         params sharded one-per-chip-group over the mesh's data axis,
@@ -896,10 +937,12 @@ class MIPSFusionTPU:
                    & (bind[:, 0] != self.active_id))
         if not mask_np.any():
             return
-        if self._refine_step_jit is None:
-            self._refine_step_jit = self._make_refine_step()
-        st, params = self._refine_step_jit(
-            self.state, self.submap_params[m], jnp.asarray(mask_np), m, i)
+        step = _get_refine_step(self.fcfg, self.mcfg, self.lw,
+                                self._round_rays(self.mcfg.sample),
+                                self._ray_sharding)
+        st, params = step(self.state, self.submap_params[m],
+                          jnp.asarray(mask_np), m, i, self.consts,
+                          self._refine_key, self._kf_frames_dev)
         self.state = st
         self.submap_params[m] = params
 

@@ -15,7 +15,55 @@ from mipsfusion_tpu.datasets.synthetic import SyntheticDataset
 from mipsfusion_tpu.slam.system import MIPSFusionTPU
 from test_slam_single import tiny_config
 
-pytestmark = pytest.mark.slow
+def test_dp_ba_lowering_has_gradient_allreduce():
+    """The compiled DP local-BA step must actually shard the ray batch.
+
+    ATE parity alone cannot catch a dropped sharding constraint (a
+    fully-replicated program computes the identical result), so this
+    asserts the structural signature of ray-DP in the compiled HLO:
+    with the batch sharded and params replicated, XLA must insert an
+    all-reduce for the map/pose gradients; without the constraint the
+    module must contain none.
+    """
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from mipsfusion_tpu.models import scene_rep as sr
+    from mipsfusion_tpu.slam import mapper
+
+    assert len(jax.devices()) >= 8, "conftest must provide 8 CPU devices"
+    cfg = tiny_config(8)
+    fcfg = sr.FieldConfig.from_dict(cfg)
+    consts = sr.FieldConsts.from_bound(
+        jnp.asarray(cfg["mapping"]["bound"], jnp.float32))
+    lw = sr.LossWeights.from_dict(cfg)
+    mcfg = mapper.MapConfig.from_dict(cfg)
+    mcfg = mapper.MapConfig(**{**mcfg.__dict__, "iters": 2})
+
+    key = jax.random.PRNGKey(0)
+    params = sr.init_field_params(key, fcfg)
+    opt_state = mapper.make_map_optimizer(mcfg).init(params)
+    K, R, n_total = 8, 64, 128
+    kf_rays = jnp.zeros((K, R, 7))
+    kf_mask = jnp.arange(K) < 3
+    poses = jnp.broadcast_to(jnp.eye(4), (K, 4, 4))
+    cur_rays = jnp.zeros((32, 7))
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    sh = NamedSharding(mesh, P("data"))
+
+    def lower(ray_sharding):
+        return mapper.local_ba.lower(
+            params, opt_state, key, kf_rays, kf_mask,
+            jnp.int32(0), jnp.int32(2), poses, cur_rays, jnp.eye(4),
+            fcfg, consts, mcfg, lw, n_total,
+            ray_sharding=ray_sharding).compile().as_text()
+
+    hlo_dp = lower(sh)
+    hlo_rep = lower(None)
+    assert "all-reduce" in hlo_dp, \
+        "DP lowering lost the ray sharding constraint (no all-reduce)"
+    assert "all-reduce" not in hlo_rep
 
 
 def _run(dp: bool, n=24):
@@ -34,6 +82,7 @@ def _run(dp: bool, n=24):
     return slam, aux["results"]
 
 
+@pytest.mark.slow
 def test_dp_hot_path_matches_single_device():
     assert len(jax.devices()) >= 8, "conftest must provide 8 CPU devices"
     slam_dp, res_dp = _run(dp=True)
