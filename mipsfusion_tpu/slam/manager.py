@@ -101,22 +101,6 @@ def containing_ratio(depth_img: jnp.ndarray, rays_d_img: jnp.ndarray,
     return jnp.sum(inside & valid) / n_valid
 
 
-def bbox_hit_scores(depth_img: jnp.ndarray, rays_d_img: jnp.ndarray,
-                    pose_world: jnp.ndarray, centers: jnp.ndarray,
-                    lengths: jnp.ndarray, rows: jnp.ndarray,
-                    cols: jnp.ndarray) -> jnp.ndarray:
-    """Per-submap count of sampled surface points inside each AABB
-    (ref find_highest_containing_ratio :159-196)."""
-    d = depth_img[rows, cols][:, None]
-    dirs = rays_d_img[rows, cols]
-    rays_o, rays_d = rays_to_world(dirs, pose_world)
-    pts = rays_o + rays_d * d
-    lo = centers - 0.5 * lengths
-    hi = centers + 0.5 * lengths
-    inside = pts_in_bbox(pts, lo, hi)          # [N, M]
-    return jnp.sum(inside, axis=0)
-
-
 def expand_rule(center: np.ndarray, length: np.ndarray,
                 kf_center: np.ndarray, kf_len: np.ndarray,
                 max_len: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
@@ -172,6 +156,87 @@ def uniform_grid(H: int, W: int, n_rows: int, n_cols: int):
 
 
 # ---------------------------------------------------------------------------
+# Fused state mutators: the msg1/2/3 decisions are host-side (branchy,
+# tiny), but each decision's state update is ONE jitted dispatch — an
+# eager .at[].set chain costs one remote-tunnel round-trip PER op, which
+# dominated the per-keyframe manager cost (measured ~65-105 ms/keyframe
+# on TPU before fusing; the predicates call + one device_get remain).
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def _msg1_apply(st: SlamState, kf_id, id1, id2, c1, l1, c2, l2,
+                max_len, bind, switch):
+    info = (st.localMLP_info
+            .at[id1, 1:4].set(c1).at[id1, 4:7].set(l1)
+            .at[id2, 1:4].set(c2).at[id2, 4:7].set(l2))
+    st = st._replace(
+        localMLP_info=info,
+        localMLP_max_len=max_len,
+        keyframe_localMLP=st.keyframe_localMLP.at[kf_id].set(bind),
+        localMLP_adjacent=st.localMLP_adjacent
+        .at[id1, id2].set(1.0).at[id2, id1].set(1.0),
+        keyframe_ref=st.keyframe_ref.at[kf_id].set(-2),
+    )
+    return st._replace(
+        prev_active_submap_id=jnp.where(switch, st.active_submap_id,
+                                        st.prev_active_submap_id),
+        active_submap_id=jnp.where(switch, jnp.asarray(id2, jnp.int32),
+                                   st.active_submap_id),
+        active_first_kf=jnp.where(switch, st.localMLP_first_kf[id2],
+                                  st.active_first_kf),
+    )
+
+
+@jax.jit
+def _msg2_apply(st: SlamState, kf_id, submap_id, c, ln):
+    return st._replace(
+        localMLP_info=st.localMLP_info
+        .at[submap_id, 1:4].set(c).at[submap_id, 4:7].set(ln),
+        keyframe_localMLP=st.keyframe_localMLP.at[kf_id, 0].set(submap_id),
+    )
+
+
+@jax.jit
+def _msg3_apply(st: SlamState, kf_id, frame_id, new_id, active_id,
+                kf_center, kf_len, pose_world):
+    info_row = jnp.concatenate([jnp.ones(1, jnp.float32),
+                                kf_center, kf_len])
+    return st._replace(
+        localMLP_info=st.localMLP_info.at[new_id].set(info_row),
+        localMLP_first_kf=st.localMLP_first_kf.at[new_id].set(kf_id),
+        keyframe_localMLP=st.keyframe_localMLP.at[kf_id].set(
+            jnp.stack([jnp.asarray(new_id, jnp.int32),
+                       jnp.asarray(active_id, jnp.int32)])),
+        localMLP_adjacent=st.localMLP_adjacent
+        .at[active_id, new_id].set(1.0).at[new_id, active_id].set(1.0),
+        prev_active_submap_id=st.active_submap_id,
+        active_submap_id=jnp.asarray(new_id, jnp.int32),
+        active_first_kf=jnp.asarray(kf_id, jnp.int32),
+        keyframe_ref=st.keyframe_ref.at[kf_id].set(-1),
+        kf_c2w=st.kf_c2w.at[kf_id].set(pose_world),
+        est_c2w=st.est_c2w.at[frame_id].set(jnp.eye(4)),
+    )
+
+
+@jax.jit
+def _predicates_fused(st: SlamState, pose_local, depth, rays_d, wait_id,
+                      min_cr_len, near, far, rows, cols):
+    """manager_predicates with the anchor derived on device from the
+    state (no host readback of active_submap_id before the dispatch);
+    the active id and submap tables join the batched readback."""
+    active_id = st.active_submap_id
+    anchor = st.kf_c2w[st.localMLP_first_kf[active_id]]
+    pred = manager_predicates(
+        st.localMLP_info, st.localMLP_max_len, anchor, pose_local,
+        depth, rays_d, active_id, wait_id, min_cr_len, near, far,
+        rows, cols)
+    pred["active_id"] = active_id
+    pred["localMLP_info"] = st.localMLP_info
+    pred["localMLP_max_len"] = st.localMLP_max_len
+    return pred
+
+
+# ---------------------------------------------------------------------------
 # Manager
 # ---------------------------------------------------------------------------
 
@@ -202,16 +267,6 @@ class Manager:
         self.find_overlap_fn = None
 
     # -- helpers ----------------------------------------------------------
-
-    def _cr(self, st: SlamState, depth, rays_d, pose_world, submap_id,
-            center=None, length=None) -> float:
-        info = np.asarray(st.localMLP_info[submap_id])
-        c = jnp.asarray(info[1:4] if center is None else center)
-        ln = jnp.asarray(info[4:7] if length is None else length)
-        min_len = jnp.asarray(self.cfg.min_cr_localMLP_len) \
-            if length is None else ln  # explicit length skips the floor
-        return float(containing_ratio(depth, rays_d, pose_world, c, ln,
-                                      min_len, self.cr_rows, self.cr_cols))
 
     def _double_binding(self, active_id: int, mo_id: int, cr_mo: float,
                         overlap_args) -> bool:
@@ -269,25 +324,13 @@ class Manager:
 
         bind = (id2, id1) if switch else (id1, id2)
         self.last_binding = (kf_id, (int(bind[0]), int(bind[1])))
-        st = st._replace(
-            localMLP_info=st.localMLP_info
-            .at[id1, 1:4].set(jnp.asarray(c1)).at[id1, 4:7].set(jnp.asarray(l1))
-            .at[id2, 1:4].set(jnp.asarray(c2)).at[id2, 4:7].set(jnp.asarray(l2)),
-            localMLP_max_len=jnp.asarray(max_len),
-            keyframe_localMLP=st.keyframe_localMLP.at[kf_id].set(
-                jnp.asarray(bind, jnp.int32)),
-            localMLP_adjacent=st.localMLP_adjacent
-            .at[id1, id2].set(1.0).at[id2, id1].set(1.0),
-            keyframe_ref=st.keyframe_ref.at[kf_id].set(-2),
-        )
-        if switch:
-            st = st._replace(
-                prev_active_submap_id=st.active_submap_id,
-                active_submap_id=jnp.asarray(id2, jnp.int32),
-                active_first_kf=st.localMLP_first_kf[id2],
-            )
-            return st, 1
-        return st, 2
+        st = _msg1_apply(
+            st, kf_id, id1, id2,
+            np.asarray(c1, np.float32), np.asarray(l1, np.float32),
+            np.asarray(c2, np.float32), np.asarray(l2, np.float32),
+            np.asarray(max_len, np.float32),
+            np.asarray(bind, np.int32), bool(switch))
+        return st, (1 if switch else 2)
 
     def _apply_msg2(self, st: SlamState, kf_id: int, kf_center, kf_len,
                     submap_id: int, info=None, max_len=None):
@@ -297,13 +340,9 @@ class Manager:
                              if max_len is None else max_len[submap_id])
         c, ln = expand_rule(info[submap_id, 1:4], info[submap_id, 4:7],
                             kf_center, kf_len, max_len)
-        st = st._replace(
-            localMLP_info=st.localMLP_info
-            .at[submap_id, 1:4].set(jnp.asarray(c))
-            .at[submap_id, 4:7].set(jnp.asarray(ln)),
-            keyframe_localMLP=st.keyframe_localMLP.at[kf_id, 0].set(
-                submap_id),
-        )
+        st = _msg2_apply(st, kf_id, submap_id,
+                         np.asarray(c, np.float32),
+                         np.asarray(ln, np.float32))
         self.last_binding = (kf_id, (int(submap_id), -1))
         return st, 2
 
@@ -314,22 +353,10 @@ class Manager:
             info = np.asarray(st.localMLP_info)
         new_id = int(info[:, 0].sum())  # first unused slot
         self.last_binding = (kf_id, (new_id, int(active_id)))
-        st = st._replace(
-            localMLP_info=st.localMLP_info.at[new_id].set(
-                jnp.concatenate([jnp.ones(1), jnp.asarray(kf_center),
-                                 jnp.asarray(kf_len)])),
-            localMLP_first_kf=st.localMLP_first_kf.at[new_id].set(kf_id),
-            keyframe_localMLP=st.keyframe_localMLP.at[kf_id].set(
-                jnp.asarray([new_id, active_id], jnp.int32)),
-            localMLP_adjacent=st.localMLP_adjacent
-            .at[active_id, new_id].set(1.0).at[new_id, active_id].set(1.0),
-            prev_active_submap_id=st.active_submap_id,
-            active_submap_id=jnp.asarray(new_id, jnp.int32),
-            active_first_kf=jnp.asarray(kf_id, jnp.int32),
-            keyframe_ref=st.keyframe_ref.at[kf_id].set(-1),
-            kf_c2w=st.kf_c2w.at[kf_id].set(jnp.asarray(pose_world)),
-            est_c2w=st.est_c2w.at[frame_id].set(jnp.eye(4)),
-        )
+        st = _msg3_apply(st, kf_id, frame_id, new_id, int(active_id),
+                         np.asarray(kf_center, np.float32),
+                         np.asarray(kf_len, np.float32),
+                         jnp.asarray(pose_world, jnp.float32))
         return st, 3, new_id
 
     # -- main entry (ref process_keyframe :365-369) ------------------------
@@ -344,34 +371,26 @@ class Manager:
         return self._process_normal(st, depth, rays_d, pose_local,
                                     frame_id, kf_id, force)
 
-    def _pose_world(self, st: SlamState, pose_local, active_id: int):
-        anchor = st.kf_c2w[st.localMLP_first_kf[active_id]]
-        return anchor @ pose_local
-
     def _predicates(self, st: SlamState, depth, rays_d, pose_local,
                     wait_id: int):
         """One fused device call + one BATCHED host readback (each
         separate np.asarray costs a full tunnel round-trip; device_get
-        fetches the whole dict at once). The submap tables ride along so
-        the msg1/2/3 mutators never read back again."""
-        active_id = int(st.active_submap_id)
-        anchor = st.kf_c2w[st.localMLP_first_kf[active_id]]
-        pred = manager_predicates(
-            st.localMLP_info, st.localMLP_max_len, anchor, pose_local,
-            depth, rays_d, jnp.asarray(active_id),
+        fetches the whole dict at once). The submap tables and the
+        active id ride along so neither the msg1/2/3 mutators nor the
+        case analysis ever read back again."""
+        pred = _predicates_fused(
+            st, pose_local, depth, rays_d,
             jnp.asarray(max(wait_id, 0)),
             jnp.asarray(self.cfg.min_cr_localMLP_len, jnp.float32),
             self.cfg.near, self.cfg.far, self.cr_rows, self.cr_cols)
-        pred["localMLP_info"] = st.localMLP_info
-        pred["localMLP_max_len"] = st.localMLP_max_len
         return jax.device_get(pred)
 
     def _process_normal(self, st: SlamState, depth, rays_d, pose_local,
                         frame_id: int, kf_id: int, force: bool,
                         pred=None):
-        active_id = int(st.active_submap_id)
         if pred is None:
             pred = self._predicates(st, depth, rays_d, pose_local, -1)
+        active_id = int(pred["active_id"])
         pose_world = jnp.asarray(pred["pose_world"])
         fr_center, fr_len = pred["fr_center"], pred["fr_len"]
         info, max_len = pred["localMLP_info"], pred["localMLP_max_len"]
@@ -457,23 +476,27 @@ class Manager:
 
     def _process_wait_loop(self, st: SlamState, depth, rays_d, pose_local,
                            frame_id: int, kf_id: int, force: bool):
-        """Wait-loop re-check (ref process_keyframe_wait_loop :494-518)."""
-        active_id = int(st.active_submap_id)
-        pose_world = self._pose_world(st, pose_local, active_id)
-        cr_wt = self._cr(st, depth, rays_d, pose_world,
-                         self.localMLP_Id_wait)
+        """Wait-loop re-check (ref process_keyframe_wait_loop :494-518).
+
+        Reuses the fused predicate dispatch (cr_wait rides along), so
+        the wait-loop frames cost the same ONE dispatch + ONE readback
+        as normal keyframes instead of an eager pose/cr chain."""
+        pred = self._predicates(st, depth, rays_d, pose_local,
+                                self.localMLP_Id_wait)
+        active_id = int(pred["active_id"])
+        pose_world = jnp.asarray(pred["pose_world"])
+        cr_wt = float(pred["cr_wait"])
         if force or cr_wt < self.cfg.min_containing_ratio_back:
             return self._process_normal(st, depth, rays_d, pose_local,
-                                        frame_id, kf_id, force)
+                                        frame_id, kf_id, force, pred=pred)
         overlap_args = (st, depth, rays_d, pose_world)
         if not self._loop_flag(self.localMLP_Id_wait, active_id, cr_wt,
                                overlap_args):
             return self._process_normal(st, depth, rays_d, pose_local,
-                                        frame_id, kf_id, force)
-        fr_center, fr_len = get_frame_surface_bbox(
-            pose_world, depth, rays_d, self.cfg.near, self.cfg.far)
-        st, flag = self._apply_msg1(st, kf_id, np.asarray(fr_center),
-                                    np.asarray(fr_len), active_id,
+                                        frame_id, kf_id, force, pred=pred)
+        st, flag = self._apply_msg1(st, kf_id,
+                                    np.asarray(pred["fr_center"]),
+                                    np.asarray(pred["fr_len"]), active_id,
                                     self.localMLP_Id_wait, pose_world, True)
         return st, flag
 
