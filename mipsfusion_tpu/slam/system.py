@@ -133,6 +133,146 @@ def _writeback_ba_poses(st: slam_state.SlamState, submap_id,
     return st._replace(est_c2w=est_c2w, kf_c2w=kf_c2w)
 
 
+@partial(jax.jit, static_argnames=("k", "edge", "H", "W"))
+def _overlap_verify(st: slam_state.SlamState, depth, rays_d, pose_world,
+                    mo_id, active_id, rows, cols, K_mat, kf_frames,
+                    k: int, edge: int, H: int, W: int):
+    """Loop-closure overlap verification as ONE device program
+    (ref Manager.find_overlapping_region :261-352): related-keyframe
+    selection, world poses, top-k nearest, per-kf visibility, AABB
+    membership. The host reads back one small dict and decides.
+
+    Padded top-k slots (fewer than k related keyframes) carry
+    top_valid=False and are excluded from the visibility votes.
+    """
+    from ..ops.geometry import rays_to_world, pts_in_bbox
+
+    # related keyframes: bound to mo_id, not first-bound to active
+    rel_mask = (slam_state.submap_kf_mask(st, mo_id)
+                & (st.keyframe_localMLP[:, 0] != active_id))
+
+    # world poses of ALL kf slots (vectorized convert_given_world_pose)
+    first_bind = st.keyframe_localMLP[:, 0]
+    M = st.localMLP_first_kf.shape[0]
+    anchors = st.kf_c2w[st.localMLP_first_kf[
+        jnp.clip(first_bind, 0, M - 1)]]
+    local = st.est_c2w[kf_frames]
+    world = jnp.einsum("kij,kjl->kil", anchors, local,
+                       precision=jax.lax.Precision.HIGHEST)
+    Kn = world.shape[0]
+    world = jnp.where((st.keyframe_ref == -1)[:, None, None],
+                      st.kf_c2w[jnp.arange(Kn)], world)
+
+    # surface points of the triggering keyframe in world
+    d = depth[rows, cols][:, None]
+    dirs = rays_d[rows, cols]
+    rays_o, rays_dw = rays_to_world(dirs, pose_world)
+    pts = rays_o + rays_dw * d                        # [N,3]
+
+    # top-k nearest related kfs by center distance
+    center = jnp.mean(pts, axis=0)
+    dists = jnp.linalg.norm(world[:, :3, 3] - center, axis=-1)
+    dists = jnp.where(rel_mask, dists, 1e9)
+    neg, top_ids = jax.lax.top_k(-dists, k)
+    top_valid = -neg < 1e9
+    top_world = world[top_ids]
+
+    # visibility of pts in each top kf camera
+    w2c = pose_inverse(top_world)                     # [k,4,4]
+    pts_cam = jnp.einsum("kij,nj->kni", w2c[:, :3, :3], pts,
+                         precision=jax.lax.Precision.HIGHEST) \
+        + w2c[:, None, :3, 3]
+    uv = jax.vmap(lambda p: project_to_pixel(K_mat, p))(pts_cam)
+    vis = ((uv[..., 0] > edge) & (uv[..., 0] < W - edge)
+           & (uv[..., 1] > edge) & (uv[..., 1] < H - edge)
+           & (pts_cam[..., 2] < 0)
+           & top_valid[:, None])                      # [k,N]
+    mask_pts = jnp.any(vis, axis=0)
+
+    info = st.localMLP_info[mo_id]
+    lo = info[1:4] - 0.5 * info[4:7]
+    hi = info[1:4] + 0.5 * info[4:7]
+    mask_in = pts_in_bbox(pts, lo[None], hi[None])[:, 0]
+    mask_final = mask_pts & mask_in & (d[:, 0] > 0)
+    return {
+        "top_kf_ids": top_ids, "top_valid": top_valid,
+        "counts": jnp.sum(vis, axis=-1), "vis": vis,
+        "mask_final": mask_final,
+        "n_related": jnp.sum(rel_mask),
+        "n_visible": jnp.sum(mask_pts), "n_in_bbox": jnp.sum(mask_in),
+        "n_valid": jnp.sum(mask_final),
+    }
+
+
+@partial(jax.jit,
+         static_argnames=("n_per", "n_incl", "keyframe_every", "n_iters"))
+def _switch_icp(st: slam_state.SlamState, use_ids, depth, rays_d,
+                mo_id, active_id, cur_frame, kf_frames,
+                rr_src, cc_src, sub_dst, sub_incl, threshold, min_trans,
+                n_per: int, n_incl: int, keyframe_every: int,
+                n_iters: int = 15):
+    """Switch-pose ICP rectification as ONE device program
+    (ref PoseCorrector.switch_pose_rectifying :99-163).
+
+    Target cloud: ``use_ids`` [k] holds the SELECTED keyframes (those
+    that saw enough overlap points, ref :117-123), cycle-padded by the
+    host across the k slots; ``sub_dst`` [k, n_per] carries per-slot ray
+    indices phased so repeated keyframes sample disjoint segments — the
+    full icp_dst_n point budget lands on the selected keyframes at the
+    reference's density, with static shapes.
+    Source cloud: the triggering keyframe's grid rays at the initial
+    pose, plus the last ``n_incl`` keyframes' stored rays converted
+    through both anchors (ref :137-148; out-of-range slots masked).
+    Returns (n_inliers, pose_final, pose_local_ini); pose_final already
+    applies the min_trans_dist distrust rule (ref :156-157).
+    """
+    anchor_prev = _anchor_of(st, active_id)
+    anchor_aft = _anchor_of(st, mo_id)
+    pose_world = _mm(anchor_prev, st.est_c2w[cur_frame])
+    pose_local_ini = _mm(pose_inverse(anchor_aft), pose_world)
+
+    # target cloud in mo_id's local frame
+    poses_local_all = _extract_submap_kf_poses(st, mo_id, kf_frames)
+    dst_rays = st.kf_rays[use_ids[:, None], sub_dst].reshape(-1, 7)
+    pose_idx = jnp.repeat(use_ids, n_per)
+    dst_pts, dst_valid = icp_mod.backproject_rays(
+        dst_rays, poses_local_all, pose_idx)
+
+    # source cloud: current keyframe grid rays at the initial pose
+    d = depth[rr_src, cc_src][:, None]
+    dirs = rays_d[rr_src, cc_src]
+    dirs_w = dirs @ pose_local_ini[:3, :3].T
+    src_pts = pose_local_ini[:3, 3] + dirs_w * d
+    src_valid = d[:, 0] > 0
+
+    if n_incl > 0:
+        cur_kf = cur_frame // keyframe_every
+        prev_locals = _extract_submap_kf_poses(st, active_id, kf_frames)
+        rel_anchor = _mm(pose_inverse(anchor_aft), anchor_prev)
+        extra_pts, extra_valid = [], []
+        for j in range(1, n_incl + 1):
+            kj = cur_kf - j
+            ok_j = kj >= 0
+            kj = jnp.maximum(kj, 0)
+            pose_aft = _mm(rel_anchor, prev_locals[kj])
+            rays_k = st.kf_rays[kj][sub_incl]
+            dk = rays_k[:, 6:7]
+            dirs_k = rays_k[:, :3] @ pose_aft[:3, :3].T
+            extra_pts.append(pose_aft[:3, 3] + dirs_k * dk)
+            extra_valid.append((dk[:, 0] > 0) & ok_j)
+        src_pts = jnp.concatenate([src_pts] + extra_pts, axis=0)
+        src_valid = jnp.concatenate([src_valid] + extra_valid, axis=0)
+
+    normals = icp_mod.estimate_normals(dst_pts, k=10)
+    res = icp_mod.icp_point_to_plane(
+        src_pts, src_valid, dst_pts, dst_valid, normals,
+        threshold, n_iters=n_iters)
+    rel = jnp.where(jnp.linalg.norm(res.transform[:3, 3]) >= min_trans,
+                    jnp.eye(4, dtype=res.transform.dtype),
+                    res.transform)   # distrust large corrections
+    return res.n_inliers, _mm(rel, pose_local_ini), pose_local_ini
+
+
 # Jitted per-stage step programs, shared ACROSS system instances: the
 # steps close over only hashable static configs, with all device data
 # (state, params, consts, PRNG keys) passed as arguments. A fresh
@@ -258,6 +398,9 @@ class MIPSFusionTPU:
         self.state = slam_state.init_state(self.cap, m["localMLP_max_len"])
         self.kf_rows, self.kf_cols = slam_state.kf_downsample_indices(
             H, W, samp["kf_n_rays_h"], samp["kf_n_rays_w"])
+        # lazily-built index caches for the fused switch programs
+        self._ovlp_grid = None
+        self._icp_subs = None
 
         # normalization constants of the active submap's field
         if self.fcfg.use_bound_normalize:
@@ -638,17 +781,11 @@ class MIPSFusionTPU:
     # :261-352 + PoseCorrector.switch_pose_rectifying :99-163)
     # ------------------------------------------------------------------
 
-    def _related_kfs_of(self, st: slam_state.SlamState, submap_id: int,
-                        exclude_submap: Optional[int] = None) -> np.ndarray:
-        mask = np.asarray(slam_state.submap_kf_mask(st, submap_id))
-        if exclude_submap is not None:
-            first_bind = np.asarray(st.keyframe_localMLP[:, 0])
-            mask = mask & ~(first_bind == exclude_submap)
-        return np.where(mask)[0]
-
     def _kf_world_poses(self, st: slam_state.SlamState,
                         kf_ids: np.ndarray) -> jnp.ndarray:
-        """World poses of given keyframes (ref convert_given_world_pose)."""
+        """World poses of given keyframes (ref convert_given_world_pose).
+        Off the hot path (mesh extraction); the switch path computes the
+        same quantity inside _overlap_verify."""
         kf_frames = self._kf_frames()
         first_bind = np.asarray(st.keyframe_localMLP[:, 0])[kf_ids]
         anchors = st.kf_c2w[st.localMLP_first_kf[
@@ -668,161 +805,110 @@ class MIPSFusionTPU:
                                  pose_world: jnp.ndarray):
         """Verify that the current keyframe genuinely re-observes
         submap mo_id, then ICP-rectify the switch pose. Returns
-        (ok, data)."""
+        (ok, data). TWO fused device programs + TWO batched readbacks
+        (the eager chain cost ~600 ms of tunnel round-trips per switch
+        event before fusing)."""
         mcfg_mgr = self.manager.cfg
-        rows, cols = manager_mod.uniform_grid(
-            self.H, self.W, mcfg_mgr.ovlp_rays_h, mcfg_mgr.ovlp_rays_w)
-        d = depth[rows, cols][:, None]
-        dirs = rays_d[rows, cols]
-        from ..ops.geometry import rays_to_world
-        rays_o, rays_dw = rays_to_world(dirs, jnp.asarray(pose_world))
-        pts = rays_o + rays_dw * d                        # [N,3] world
-
-        related = self._related_kfs_of(st, mo_id, exclude_submap=active_id)
-        if len(related) == 0:
-            return False, None
-        rel_world = self._kf_world_poses(st, related)
-
-        # top-K nearest kfs by center distance
-        center = jnp.mean(pts, axis=0)
-        dists = jnp.linalg.norm(rel_world[:, :3, 3] - center, axis=-1)
-        k = min(self.near_kf_num, len(related))
-        top_idx = np.asarray(jnp.argsort(dists))[:k]
-        top_kf_ids = related[top_idx]
-        top_world = rel_world[jnp.asarray(top_idx)]
-
-        # visibility of pts in each top kf
-        w2c = pose_inverse(top_world)                     # [k,4,4]
-        pts_cam = jnp.einsum("kij,nj->kni", w2c[:, :3, :3], pts,
-                             precision=jax.lax.Precision.HIGHEST) \
-            + w2c[:, None, :3, 3]
-        K_mat = jnp.asarray([[self.dataset.fx, 0.0, self.dataset.cx],
-                             [0.0, self.dataset.fy, self.dataset.cy],
-                             [0.0, 0.0, 1.0]])
-        uv = jax.vmap(lambda p: project_to_pixel(K_mat, p))(pts_cam)
+        if self._ovlp_grid is None:
+            self._ovlp_grid = manager_mod.uniform_grid(
+                self.H, self.W, mcfg_mgr.ovlp_rays_h, mcfg_mgr.ovlp_rays_w)
+        rows, cols = self._ovlp_grid
         # reference uses a fixed 20px margin on 1200x680 images
         # (ref Manager.py:323); keep it proportional (~3%) so small test
         # images are not dominated by the margin
         edge = max(2, int(round(0.03 * min(self.H, self.W))))
-        vis = ((uv[..., 0] > edge) & (uv[..., 0] < self.W - edge)
-               & (uv[..., 1] > edge) & (uv[..., 1] < self.H - edge)
-               & (pts_cam[..., 2] < 0))                   # [k,N]
-        mask_pts = jnp.any(vis, axis=0)
+        K_mat = jnp.asarray([[self.dataset.fx, 0.0, self.dataset.cx],
+                             [0.0, self.dataset.fy, self.dataset.cy],
+                             [0.0, 0.0, 1.0]])
+        ver = jax.device_get(_overlap_verify(
+            st, depth, rays_d, jnp.asarray(pose_world), mo_id, active_id,
+            rows, cols, K_mat, self._kf_frames_dev,
+            k=self.near_kf_num, edge=edge, H=self.H, W=self.W))
 
-        info = np.asarray(st.localMLP_info[mo_id])
-        lo = jnp.asarray(info[1:4] - 0.5 * info[4:7])
-        hi = jnp.asarray(info[1:4] + 0.5 * info[4:7])
-        from ..ops.geometry import pts_in_bbox
-        mask_in = pts_in_bbox(pts, lo[None], hi[None])[:, 0]
-        mask_final = mask_pts & mask_in & (d[:, 0] > 0)
-        n_valid = int(jnp.sum(mask_final))
-        # min_pts scaled to our sample count (reference samples
-        # n_rays_h*n_rays_w=1600 and requires 200)
         need = mcfg_mgr.min_ovlp_pts
+        n_valid = int(ver["n_valid"])
         if self.debug_loop:
-            print(f"  [overlap mo={mo_id}] related={len(related)} "
-                  f"visible={int(jnp.sum(mask_pts))} "
-                  f"in_bbox={int(jnp.sum(mask_in))} valid={n_valid} "
+            print(f"  [overlap mo={mo_id}] related={int(ver['n_related'])} "
+                  f"visible={int(ver['n_visible'])} "
+                  f"in_bbox={int(ver['n_in_bbox'])} valid={n_valid} "
                   f"(need {need})")
-        if n_valid < need:
+        if int(ver["n_related"]) == 0 or n_valid < need:
             return False, None
 
         # ICP rectification
+        top_valid = ver["top_valid"]
         ok, n_corr, pose_final = self._switch_pose_rectifying(
-            st, mo_id, active_id, top_kf_ids, vis, depth, rays_d)
+            st, mo_id, active_id, ver["top_kf_ids"], ver["counts"],
+            top_valid, depth, rays_d)
         if self.debug_loop:
             print(f"  [overlap mo={mo_id}] icp ok={ok} inliers={n_corr}")
         if not ok:
             return False, None
         self.rectified_local_pose = pose_final
-        data = {"top_kf_ids": top_kf_ids, "top_kf_mask": np.asarray(vis),
-                "pts_mask": np.asarray(mask_final)}
+        data = {"top_kf_ids": ver["top_kf_ids"][top_valid],
+                "top_kf_mask": ver["vis"][top_valid],
+                "pts_mask": ver["mask_final"]}
         return True, data
 
     def _switch_pose_rectifying(self, st: slam_state.SlamState,
                                 mo_id: int, active_id: int,
-                                top_kf_ids: np.ndarray,
-                                top_kf_mask: jnp.ndarray,
+                                top_kf_ids, counts, top_valid,
                                 depth: jnp.ndarray, rays_d: jnp.ndarray
                                 ) -> Tuple[bool, int, jnp.ndarray]:
         """ICP-align the triggering keyframe to mo_id's keyframe cloud
-        (ref PoseCorrector.switch_pose_rectifying :99-163)."""
-        frame_id = int(np.asarray(st.n_kf)) * 0  # unused placeholder
-        # initial local pose in the target submap's frame
-        anchor_prev = self._anchor(st, active_id)
-        anchor_aft = self._anchor(st, mo_id)
+        (ref PoseCorrector.switch_pose_rectifying :99-163) — one fused
+        device program (_switch_icp) + one batched readback. The
+        keyframe selection (enough visible overlap points, ref :117-123)
+        happens HERE on the already-read-back counts; the selected ids
+        are cycle-padded across the k slots with phased per-slot ray
+        indices so the full icp_dst_n budget lands on the selected
+        keyframes at the reference's density."""
         cur_frame = int(self._last_tracked_frame)
-        pose_world = anchor_prev @ st.est_c2w[cur_frame]
-        pose_local_ini = pose_inverse(anchor_aft) @ pose_world
-
-        # target cloud: stored rays of selected kfs (those with enough
-        # visible points, ref :117-123), in mo_id's local frame
-        counts = np.asarray(jnp.sum(top_kf_mask, axis=-1))
-        sel = np.where(counts > 200)[0]
-        sel_ids = top_kf_ids if len(sel) == 0 else top_kf_ids[sel]
-        poses_local_all = self.extract_submap_kf_poses(st, mo_id)
         R = self.cap.rays_per_kf
-        n_per = max(1, self.icp_dst_n // max(len(sel_ids), 1))
-        sub = np.linspace(0, R - 1, n_per).astype(np.int32)
-        dst_rays = st.kf_rays[jnp.asarray(sel_ids)][:, jnp.asarray(sub)]
-        dst_rays = dst_rays.reshape(-1, 7)
-        pose_idx = jnp.repeat(jnp.asarray(sel_ids), n_per)
-        dst_pts, dst_valid = icp_mod.backproject_rays(
-            dst_rays, poses_local_all, pose_idx)
+        k = self.near_kf_num
+        n_per = max(1, self.icp_dst_n // k)
+        if self._icp_subs is None:
+            src_sub = np.linspace(0, len(self.kf_rows) - 1,
+                                  self.icp_src_n).astype(np.int32)
+            self._icp_subs = (
+                jnp.asarray(np.asarray(self.kf_rows)[src_sub]),
+                jnp.asarray(np.asarray(self.kf_cols)[src_sub]),
+                jnp.asarray(np.linspace(0, R - 1,
+                                        self.icp_src_n).astype(np.int32)))
+        rr_src, cc_src, sub_incl = self._icp_subs
 
-        # source cloud: current keyframe downsampled rays at pose_ini
-        src_sub = np.linspace(0, len(self.kf_rows) - 1,
-                              self.icp_src_n).astype(np.int32)
-        rr = self.kf_rows[jnp.asarray(src_sub)]
-        cc = self.kf_cols[jnp.asarray(src_sub)]
-        d = depth[rr, cc][:, None]
-        dirs = rays_d[rr, cc]
-        dirs_w = dirs @ pose_local_ini[:3, :3].T
-        src_pts = pose_local_ini[:3, 3] + dirs_w * d
-        src_valid = d[:, 0] > 0
+        # host-side keyframe selection + cycle-padding (counts/top_valid
+        # are np arrays from the verify readback)
+        top_kf_ids = np.asarray(top_kf_ids)
+        sel_mask = (np.asarray(counts) > 200) & np.asarray(top_valid)
+        if not sel_mask.any():
+            sel_mask = np.asarray(top_valid)
+        sel_ids = top_kf_ids[sel_mask]
+        n_used = max(1, len(sel_ids))
+        use_ids = sel_ids[np.arange(k) % n_used]
+        reps = (k + n_used - 1) // n_used
+        dense = np.linspace(0, R - 1, n_per * reps).astype(np.int32)
+        sub_dst = np.stack([dense[(i // n_used) * n_per:
+                                  (i // n_used) * n_per + n_per]
+                            for i in range(k)])          # [k, n_per]
 
-        # including_last: merge the last N keyframes' stored clouds into
-        # the ICP source (ref PoseCorrector.py:137-148 — their local
-        # poses in the PREV submap converted into mo_id's frame through
-        # both anchors: aft^-1 @ prev @ pose_prev_local)
-        n_incl = self.sw_including_last
-        if n_incl > 0:
-            cur_kf = cur_frame // self.keyframe_every
-            prev_locals = self._extract_poses_jit(st, active_id)
-            rel_anchor = _mm(pose_inverse(anchor_aft), anchor_prev)
-            sub_r = jnp.asarray(np.linspace(
-                0, R - 1, self.icp_src_n).astype(np.int32))
-            extra_pts, extra_valid = [], []
-            for j in range(1, n_incl + 1):
-                k = cur_kf - j
-                if k < 0:
-                    continue
-                pose_aft = _mm(rel_anchor, prev_locals[k])
-                rays_k = st.kf_rays[k][sub_r]
-                dk = rays_k[:, 6:7]
-                dirs_k = rays_k[:, :3] @ pose_aft[:3, :3].T
-                extra_pts.append(pose_aft[:3, 3] + dirs_k * dk)
-                extra_valid.append(dk[:, 0] > 0)
-            if extra_pts:
-                src_pts = jnp.concatenate([src_pts] + extra_pts, axis=0)
-                src_valid = jnp.concatenate([src_valid] + extra_valid,
-                                            axis=0)
-
-        normals = icp_mod.estimate_normals(dst_pts, k=10)
-        res = icp_mod.icp_point_to_plane(
-            src_pts, src_valid, dst_pts, dst_valid, normals,
-            self.sw_align_threshold, n_iters=15)
+        n_in_dev, pose_final, pose_ini = _switch_icp(
+            st, jnp.asarray(use_ids, jnp.int32), depth, rays_d,
+            mo_id, active_id, cur_frame, self._kf_frames_dev,
+            rr_src, cc_src, jnp.asarray(sub_dst), sub_incl,
+            self.sw_align_threshold, self.sw_min_trans,
+            n_per=n_per, n_incl=self.sw_including_last,
+            keyframe_every=self.keyframe_every)
+        n_in, pose_final, pose_ini = jax.device_get(
+            (n_in_dev, pose_final, pose_ini))
 
         # the reference demands min_correspondence matches out of its
         # full-resolution cloud; scale to our subsampled source count
         need = int(self.sw_min_corr * self.icp_src_n / R)
-        n_in = int(res.n_inliers)
+        n_in = int(n_in)
         if n_in < max(need, 32):
-            return False, n_in, pose_local_ini
-        rel = res.transform
-        if float(jnp.linalg.norm(rel[:3, 3])) >= self.sw_min_trans:
-            rel = jnp.eye(4)   # distrust large corrections (ref :156-157)
-        return True, n_in, rel @ pose_local_ini
+            return False, n_in, jnp.asarray(pose_ini)
+        return True, n_in, jnp.asarray(pose_final)
 
     # ------------------------------------------------------------------
     # background refinement (InactiveMap round-robin, ref InactiveMap.py

@@ -119,8 +119,9 @@ def test_including_last_grows_icp_source(loop_run):
     caught = {}
     orig = slam._switch_pose_rectifying
 
-    def spy(st_, mo_, act_, ids_, vis_, depth_, rays_):
-        ok, n, pose = orig(st_, mo_, act_, ids_, vis_, depth_, rays_)
+    def spy(st_, mo_, act_, ids_, counts_, valid_, depth_, rays_):
+        ok, n, pose = orig(st_, mo_, act_, ids_, counts_, valid_,
+                           depth_, rays_)
         caught["n"] = n
         caught["pose"] = pose
         return ok, n, pose
