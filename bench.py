@@ -135,6 +135,8 @@ def run_multisubmap(cfg_path: str):
     slam3, per_ms, ev3, _ = _drive(cfg, ds, n, synced=True)
     switch_frames = sorted(ev3["new"] + ev3["back"])
     switch_ms = float(max((per_ms[i] for i in switch_frames), default=0.0))
+    new_ms = float(max((per_ms[i] for i in ev3["new"]), default=0.0))
+    back_ms = float(max((per_ms[i] for i in ev3["back"]), default=0.0))
 
     t0 = time.perf_counter()
     verts, faces, _ = slam3.extract_mesh()
@@ -152,6 +154,8 @@ def run_multisubmap(cfg_path: str):
         "p50_frame_ms": round(float(np.percentile(per_ms, 50)), 2),
         "p99_frame_ms": round(float(np.percentile(per_ms, 99)), 2),
         "switch_frame_ms": round(switch_ms, 2),
+        "switch_new_frame_ms": round(new_ms, 2),
+        "switch_back_frame_ms": round(back_ms, 2),
         "mesh_wall_s": round(mesh_s, 2),
         "mesh_accuracy_m": round(mesh_metrics["mesh_accuracy_m"], 4),
         "mesh_completion@5cm": round(mesh_metrics["mesh_completion@5cm"],

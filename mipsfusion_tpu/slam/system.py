@@ -447,6 +447,16 @@ class MIPSFusionTPU:
         self.key_edge_weight = m.get("global_BA", {}).get(
             "key_edge_weight", 0.1)
         self.near_kf_num = 10  # ref keyframeSet.py:70
+        # Deferred new-submap init: the reference runs the 500-iter
+        # first fit CONCURRENTLY with tracking in the mapping process
+        # (ref mipsfusion.py:198-222 overlap :470-576); in this
+        # sequenced loop the same overlap is re-expressed by splitting
+        # the fit into fixed-size chunks interleaved with the tracked
+        # frames, so no single frame pays the whole fit. 0 = disabled
+        # (whole fit on the switch frame, round-2 behavior).
+        self.init_chunk = int(m.get("first_iters_chunk", 0))
+        self._pending_init_iters = 0
+        self._pending_init_rays = None
         # ICP cloud subsampling (the reference feeds full 30k-ray clouds
         # to open3d; we subsample for the brute-force NN matmul and scale
         # the min-correspondence threshold accordingly)
@@ -708,6 +718,7 @@ class MIPSFusionTPU:
         submap_params[prev]; the new submap starts from the shared
         initial params and gets the first-frame fit.
         """
+        self._flush_pending_init()
         st = self.state
         new_id = int(st.active_submap_id)
         self.submap_params[new_id] = self.initial_params
@@ -722,19 +733,53 @@ class MIPSFusionTPU:
         self.inactive_started = True
 
         rgb, depth, direction = self._frame_arrays(frame)
+        rays = self._packed_frame.reshape(-1, 7)
+        total = self.mcfg.first_iters
+        if 0 < self.init_chunk < total:
+            # run one chunk now; the rest drains one chunk per tracked
+            # frame (= the ref's concurrent-fit semantics: tracking
+            # proceeds against the still-training submap)
+            self._pending_init_rays = rays
+            self._pending_init_iters = total
+            self._drain_init_chunk()
+        else:
+            params, opt_state, _ = mapper.init_submap_fit(
+                self.submap_params[new_id], self.map_opt_state,
+                self._next_key(), rays, self.fcfg,
+                self.consts, self.mcfg, self.lw, total,
+                self._round_rays(self.mcfg.mapping_sample_init),
+                ray_sharding=self._ray_sharding)
+            self.submap_params[new_id] = params
+            self.map_opt_state = opt_state
+
+    def _drain_init_chunk(self):
+        """One fixed-size chunk of the deferred first fit (single
+        compiled shape: always ``init_chunk`` iters, overshooting
+        ``first_iters`` by < one chunk on the last frame)."""
         params, opt_state, _ = mapper.init_submap_fit(
-            self.submap_params[new_id], self.map_opt_state,
-            self._next_key(), self._packed_frame.reshape(-1, 7), self.fcfg,
-            self.consts, self.mcfg, self.lw, self.mcfg.first_iters,
+            self.submap_params[self.active_id], self.map_opt_state,
+            self._next_key(), self._pending_init_rays, self.fcfg,
+            self.consts, self.mcfg, self.lw, self.init_chunk,
             self._round_rays(self.mcfg.mapping_sample_init),
             ray_sharding=self._ray_sharding)
-        self.submap_params[new_id] = params
+        self.submap_params[self.active_id] = params
         self.map_opt_state = opt_state
+        self._pending_init_iters -= self.init_chunk
+        if self._pending_init_iters <= 0:
+            self._pending_init_iters = 0
+            self._pending_init_rays = None
+
+    def _flush_pending_init(self):
+        """Finish any deferred init synchronously (before events that
+        must see a fully-fit submap: switches, meshing, checkpoints)."""
+        while self._pending_init_iters > 0:
+            self._drain_init_chunk()
 
     def active_submap_switch(self, frame: Dict, i: int, kf_id: int):
         """Switch back to a previous submap (ref :607-635): the model
         handoff is an index swap; the tracked pose is replaced by the
         ICP-rectified local pose computed during overlap verification."""
+        self._flush_pending_init()
         st = self.state
         back_id = int(st.active_submap_id)
         self.active_id = back_id
@@ -1271,6 +1316,7 @@ class MIPSFusionTPU:
     def save_checkpoint(self, tag: str = "final"):
         if not self.output_dir:
             return None
+        self._flush_pending_init()
         from .checkpoint import save_ckpt
         ckpt_dir = os.path.join(self.output_dir, f"ckpt_{tag}")
         save_ckpt(ckpt_dir, self.state, self.submap_params,
@@ -1290,6 +1336,7 @@ class MIPSFusionTPU:
         from ..mesher import Mesher, MeshConfig
         from ..mesher.mesher import save_mesh_ply
 
+        self._flush_pending_init()
         st = self.state
         used = int(np.asarray(st.localMLP_info[:, 0]).sum())
         voxel = voxel_size or self.config.get("mesh", {}).get(
@@ -1362,6 +1409,8 @@ class MIPSFusionTPU:
             return
 
         self.track(frame, i)
+        if self._pending_init_iters > 0:
+            self._drain_init_chunk()
         if i % self.map_every == 0:
             self.do_local_ba(frame, i)
             self.inactive_refine_step(i)
