@@ -347,6 +347,72 @@ def _get_refine_step(fcfg, mcfg, lw, n_rays, ray_sharding):
     return fn
 
 
+@jax.jit
+def _switch_state_update(st, i, rectified, back_id):
+    """Switch-back bookkeeping as ONE device program (the eager chain —
+    gather, two scatters, one read — cost 4+ tunnel dispatches per
+    switch event). Returns (new state, the pre-rectification local pose
+    needed as temp_local_pose by the subsequent PGO)."""
+    temp = st.est_c2w[i]
+    st = st._replace(
+        active_first_kf=st.localMLP_first_kf[back_id],
+        last_switch_frame=i,
+        est_c2w=st.est_c2w.at[i].set(rectified))
+    return st, temp
+
+
+@jax.jit
+def _global_pgo(st, local_prev, local_aft, aft_id, prev_id, used, key_w):
+    """Pose-graph optimization after a loop closure as ONE device
+    program with ZERO readbacks (ref InactiveMap.global_BA :478-497 ->
+    PoseCorrector.pose_graph_optimize :173-216): anchors, edge
+    assembly, the damped-GN solve and the anchor write-back all stay on
+    device; the scalar ids arrive from the host binding mirror."""
+    M = st.localMLP_info.shape[0]
+    Nk = st.kf_c2w.shape[0]
+    first_kf = jnp.clip(st.localMLP_first_kf, 0, Nk - 1)
+    anchors = st.kf_c2w[first_kf]
+
+    pairs = np.asarray([(a, b) for a in range(M) for b in range(a + 1, M)],
+                       np.int32).reshape(-1, 2)
+    pi, pj = jnp.asarray(pairs[:, 0]), jnp.asarray(pairs[:, 1])
+    rels = jax.vmap(lambda a, b: _mm(pose_inverse(b), a))(
+        anchors[pi], anchors[pj])
+    key_rel = _mm(local_prev, pose_inverse(local_aft))
+    rels = jnp.concatenate([rels, key_rel[None]], axis=0)
+    edges = jnp.concatenate(
+        [jnp.asarray(pairs),
+         jnp.stack([aft_id, prev_id]).astype(jnp.int32)[None]], axis=0)
+    w = ((st.localMLP_adjacent[pi, pj] > 0)
+         & (pi < used) & (pj < used)).astype(jnp.float32)
+    weights = jnp.concatenate([w, key_w[None].astype(jnp.float32)])
+    node_mask = (jnp.arange(M) >= 1) & (jnp.arange(M) < used)
+
+    nodes, _cost = pose_graph.optimize_pose_graph(
+        anchors, edges, rels, weights, node_mask, n_iters=10)
+    valid = jnp.arange(M) < used
+    idx = jnp.where(valid, first_kf, Nk)   # out-of-range rows drop
+    kf_c2w = st.kf_c2w.at[idx].set(nodes, mode="drop")
+    return st._replace(kf_c2w=kf_c2w)
+
+
+@partial(jax.jit, static_argnames=("fcfg", "n_iters", "n_total",
+                                   "pose_accum_step"))
+def _switch_ba_fused(st, params, key, kf_mask, frame_rays, i, kf_frames,
+                     fcfg, consts, lw, lr_rot, lr_trans, n_iters, n_total,
+                     pose_accum_step):
+    """Switch-time pose-only BA as ONE device program: local-pose
+    extraction, the BA scan and the pose write-back fused (the eager
+    extract chain alone cost ~15 dispatches per switch event)."""
+    poses_local = _extract_submap_kf_poses(st, st.active_submap_id,
+                                           kf_frames)
+    pose_opt, _ = mapper.switch_ba(
+        params, key, st.kf_rays, kf_mask, poses_local, frame_rays,
+        st.est_c2w[i], fcfg, consts, lw, lr_rot, lr_trans,
+        n_iters, n_total, pose_accum_step)
+    return st._replace(est_c2w=st.est_c2w.at[i].set(pose_opt))
+
+
 class MIPSFusionTPU:
     """Online multi-implicit-submap RGB-D SLAM on TPU."""
 
@@ -423,6 +489,10 @@ class MIPSFusionTPU:
 
         self.map_opt = mapper.make_map_optimizer(self.mcfg)
         self.map_opt_state = self.map_opt.init(self.initial_params)
+        # adam's init is zeros-of-param-shapes: identical for every
+        # submap, so switches reuse this pytree instead of re-running
+        # the eager init tree (~#leaves dispatches per switch event)
+        self._fresh_opt_state = self.map_opt_state
 
         self.pst = tracker.make_pst(kpst, self.rcfg)
 
@@ -720,9 +790,11 @@ class MIPSFusionTPU:
         """
         self._flush_pending_init()
         st = self.state
-        new_id = int(st.active_submap_id)
+        lb = self.manager.last_binding if self.use_manager else None
+        new_id = (int(lb[1][0]) if lb is not None
+                  else int(np.asarray(st.active_submap_id)))
         self.submap_params[new_id] = self.initial_params
-        self.map_opt_state = self.map_opt.init(self.initial_params)
+        self.map_opt_state = self._fresh_opt_state
         self.active_id = new_id
         self._host_used = max(self._host_used, new_id + 1)
         self.last_switch_frame = i
@@ -781,16 +853,15 @@ class MIPSFusionTPU:
         ICP-rectified local pose computed during overlap verification."""
         self._flush_pending_init()
         st = self.state
-        back_id = int(st.active_submap_id)
+        lb = self.manager.last_binding if self.use_manager else None
+        back_id = (int(lb[1][0]) if lb is not None
+                   else int(np.asarray(st.active_submap_id)))
         self.active_id = back_id
-        self.map_opt_state = self.map_opt.init(self.submap_params[back_id])
+        self.map_opt_state = self._fresh_opt_state
         self.last_switch_frame = i
-        self.temp_local_pose = st.est_c2w[i]
-        st = st._replace(
-            active_first_kf=st.localMLP_first_kf[back_id],
-            last_switch_frame=jnp.asarray(i, jnp.int32),
-            est_c2w=st.est_c2w.at[i].set(self.rectified_local_pose),
-        )
+        st, self.temp_local_pose = _switch_state_update(
+            st, jnp.asarray(i, jnp.int32), self.rectified_local_pose,
+            jnp.asarray(back_id, jnp.int32))
         self.state = st
         self.optim_cur = True
         self.inactive_started = True
@@ -806,20 +877,14 @@ class MIPSFusionTPU:
             return
         kf_mask = np.zeros(self.cap.n_keyframes, bool)
         kf_mask[np.asarray(top_kf_ids)] = True
-        kf_mask = jnp.asarray(kf_mask)
 
-        poses_local = self.extract_submap_kf_poses(st, self.active_id)
-        rgb, depth, direction = self._frame_arrays(frame)
-        frame_rays = self._packed_frame
-
-        pose_opt, _ = mapper.switch_ba(
-            self.submap_params[self.active_id], self._next_key(),
-            st.kf_rays, kf_mask, poses_local,
-            frame_rays.reshape(-1, 7), st.est_c2w[i], self.fcfg,
-            self.consts, self.lw, self.sw_lr_rot, self.sw_lr_trans,
-            self.sw_map_num, self.mcfg.sample,
+        self.state = _switch_ba_fused(
+            st, self.submap_params[self.active_id], self._next_key(),
+            jnp.asarray(kf_mask), self._packed_frame.reshape(-1, 7),
+            jnp.asarray(i, jnp.int32), self._kf_frames_dev,
+            self.fcfg, self.consts, self.lw, self.sw_lr_rot,
+            self.sw_lr_trans, self.sw_map_num, self.mcfg.sample,
             self.mcfg.pose_accum_step)
-        self.state = st._replace(est_c2w=st.est_c2w.at[i].set(pose_opt))
 
     # ------------------------------------------------------------------
     # loop-closure verification (ref Manager.find_overlapping_region
@@ -1082,30 +1147,24 @@ class MIPSFusionTPU:
         closure (ref InactiveMap.global_BA :478-497 ->
         PoseCorrector.pose_graph_optimize :173-216)."""
         st = self.state
-        used = int(np.asarray(st.localMLP_info[:, 0]).sum())
+        used = self._host_used
         if used < 2 or self.temp_local_pose is None:
             return
-        M = st.localMLP_info.shape[0]
-        anchors = st.kf_c2w[st.localMLP_first_kf[
-            jnp.clip(jnp.arange(M), 0, st.localMLP_first_kf.shape[0] - 1)]]
+        # switch ids from the host binding mirror (manager.last_binding
+        # still holds (switched-to, previous) here; process_frame clears
+        # it after the switch chain) — no device readback
+        lb = self.manager.last_binding if self.use_manager else None
+        if lb is not None:
+            aft_id, prev_id = int(lb[1][0]), int(lb[1][1])
+        else:
+            prev_id = int(np.asarray(st.prev_active_submap_id))
+            aft_id = int(np.asarray(st.active_submap_id))
 
-        prev_id = int(st.prev_active_submap_id)
-        aft_id = int(st.active_submap_id)
-        local_prev = self.temp_local_pose
-        local_aft = self.rectified_local_pose
-        key_rel = local_prev @ pose_inverse(local_aft)
-
-        edges, rels, weights = pose_graph.build_pose_graph_problem(
-            anchors, np.asarray(st.localMLP_adjacent), (aft_id, prev_id),
-            key_rel, self.key_edge_weight, used)
-        node_mask = jnp.asarray(
-            [False] + [True] * (M - 1)) & (jnp.arange(M) < used)
-        nodes, cost = pose_graph.optimize_pose_graph(
-            anchors, edges, rels, weights, node_mask, n_iters=10)
-
-        first_kfs = np.asarray(st.localMLP_first_kf)[:used]
-        kf_c2w = st.kf_c2w.at[jnp.asarray(first_kfs)].set(nodes[:used])
-        self.state = st._replace(kf_c2w=kf_c2w)
+        self.state = _global_pgo(
+            st, self.temp_local_pose, self.rectified_local_pose,
+            jnp.asarray(aft_id, jnp.int32), jnp.asarray(prev_id, jnp.int32),
+            jnp.asarray(used, jnp.int32),
+            jnp.asarray(self.key_edge_weight, jnp.float32))
         # optional SDF-consistency refinement of the anchors on top of
         # PGO (ref's older global_BA_overlapping path)
         if self.config["mapping"].get("global_BA", {}).get(
