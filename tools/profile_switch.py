@@ -1,5 +1,11 @@
-"""Scratch: break down the switch-back frame cost on TPU."""
-import os, time
+"""Profile: per-stage breakdown of switch-back frame cost on TPU.
+
+Drives the outback multi-submap scene twice (warm, then timed with
+per-stage sync) and prints mean/max/sum ms per stage. Companion to
+bench.py's switch_frame_ms metric.
+"""
+import os, sys, time
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                    ".jax_cache"))
