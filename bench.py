@@ -40,13 +40,22 @@ from mipsfusion_tpu.slam.system import MIPSFusionTPU  # noqa: E402
 
 N_WARM = 16     # a full keyframe cycle: covers every jit shape
                 # (track, BA, keyframe add, manager predicates)
-N_BENCH = 30    # timed steady-state frames
+N_BENCH = 30    # timed steady-state frames per repeat
+N_REPEAT = 3    # timed windows per profile (median reported — the
+                # remote-tunnel session variance is ~1.5x, VERDICT r3 #6)
+
+
+def _stats(xs):
+    xs = sorted(xs)
+    return {"median": xs[len(xs) // 2] if len(xs) % 2 else
+            0.5 * (xs[len(xs) // 2 - 1] + xs[len(xs) // 2]),
+            "min": xs[0], "max": xs[-1]}
 
 
 def run_profile(cfg_path: str):
     cfg = load_config(cfg_path)
     cfg["data"]["output"] = None
-    n_frames = N_WARM + N_BENCH + 1
+    n_frames = N_WARM + N_REPEAT * N_BENCH + 1
     ds = SyntheticDataset(cfg, n_frames=n_frames, trajectory="orbit",
                           span=n_frames / 400.0)
     # pre-render all frames on device so data generation is off the clock
@@ -63,15 +72,19 @@ def run_profile(cfg_path: str):
         slam.process_frame(frame(i), i)
     jax.block_until_ready(slam.state.est_c2w)
 
-    t0 = time.perf_counter()
-    for i in range(N_WARM + 1, N_WARM + 1 + N_BENCH):
-        slam.process_frame(frame(i), i)
-    jax.block_until_ready(slam.state.est_c2w)
-    fps = N_BENCH / (time.perf_counter() - t0)
+    # N_REPEAT consecutive timed windows of the steady state
+    fps_list = []
+    i0 = N_WARM + 1
+    for _rep in range(N_REPEAT):
+        t0 = time.perf_counter()
+        for i in range(i0, i0 + N_BENCH):
+            slam.process_frame(frame(i), i)
+        jax.block_until_ready(slam.state.est_c2w)
+        fps_list.append(N_BENCH / (time.perf_counter() - t0))
+        i0 += N_BENCH
 
-    ate = slam.evaluate(N_WARM + N_BENCH)[
-        "absolute_translational_error.rmse"]
-    return fps, ate
+    ate = slam.evaluate(i0 - 1)["absolute_translational_error.rmse"]
+    return _stats(fps_list), ate
 
 
 def _build_outback(cfg_path: str):
@@ -125,10 +138,17 @@ def run_multisubmap(cfg_path: str):
     # pass 1 (warm): charge every jit variant incl. the switch-back
     # machinery (ICP, switch BA, PGO) to the compile caches
     _drive(cfg, ds, n, synced=False)
-    # pass 2 (timed, unsynced): amortized whole-system FPS + ATE
-    slam, _, events, total_s = _drive(cfg, ds, n, synced=False)
-    fps = (n - 1) / total_s
-    ate = slam.evaluate(n - 1)["absolute_translational_error.rmse"]
+    # timed unsynced passes (xN_REPEAT): amortized whole-system FPS
+    fps_list, ate_list, backs_list = [], [], []
+    for _rep in range(N_REPEAT):
+        slam, _, events, total_s = _drive(cfg, ds, n, synced=False)
+        fps_list.append((n - 1) / total_s)
+        ate_list.append(float(slam.evaluate(n - 1)[
+            "absolute_translational_error.rmse"]))
+        backs_list.append(len(events["back"]))
+    fps_stats = _stats(fps_list)
+    ate_stats = _stats(ate_list)
+    fps, ate = fps_stats["median"], ate_stats["median"]
     n_submaps = int(np.asarray(slam.state.localMLP_info[:, 0]).sum())
     # pass 3 (synced): per-frame latency distribution (each frame pays
     # one tunnel RTT; switch/init frames dwarf it)
@@ -148,9 +168,13 @@ def run_multisubmap(cfg_path: str):
 
     return {
         "multi_submap_fps": round(fps, 3),
+        "multi_submap_fps_min": round(fps_stats["min"], 3),
+        "multi_submap_fps_max": round(fps_stats["max"], 3),
         "multi_submap_ate_rmse_m": round(float(ate), 5),
+        "multi_submap_ate_min_m": round(ate_stats["min"], 5),
+        "multi_submap_ate_max_m": round(ate_stats["max"], 5),
         "n_submaps": n_submaps,
-        "n_switch_backs": len(events["back"]),
+        "n_switch_backs": max(backs_list),
         "p50_frame_ms": round(float(np.percentile(per_ms, 50)), 2),
         "p99_frame_ms": round(float(np.percentile(per_ms, 99)), 2),
         "switch_frame_ms": round(switch_ms, 2),
@@ -183,13 +207,18 @@ def main():
     multi["multi_submap_full_budget_switch_backs"] = ms_full_backs
     print(json.dumps({
         "metric": "tracked_fps",
-        "value": round(fast_fps, 3),
+        "value": round(fast_fps["median"], 3),
         "unit": "frames/s",
-        "vs_baseline": round(fast_fps / 30.0, 4),
+        "vs_baseline": round(fast_fps["median"] / 30.0, 4),
         "config": "configs/synthetic/orbit_fast.yaml (ATE-validated "
-                  "fast profile; process_frame incl. manager)",
+                  "fast profile; process_frame incl. manager; median of "
+                  f"{N_REPEAT} windows)",
+        "fps_min": round(fast_fps["min"], 3),
+        "fps_max": round(fast_fps["max"], 3),
         "ate_rmse_m": round(fast_ate, 5),
-        "full_budget_fps": round(full_fps, 3),
+        "full_budget_fps": round(full_fps["median"], 3),
+        "full_budget_fps_min": round(full_fps["min"], 3),
+        "full_budget_fps_max": round(full_fps["max"], 3),
         "full_budget_ate_rmse_m": round(full_ate, 5),
         **multi,
     }))

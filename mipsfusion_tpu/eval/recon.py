@@ -29,16 +29,18 @@ def mesh_accuracy_vs_sdf(verts: np.ndarray,
 
 
 def mesh_completion(gt_points: np.ndarray, verts: np.ndarray,
-                    tau: float = 0.05, chunk: int = 4096) -> float:
-    """Fraction of GT surface points with a mesh vertex within tau."""
+                    tau: float = 0.05) -> float:
+    """Fraction of GT surface points with a mesh vertex within tau.
+
+    KD-tree nearest neighbor: the broadcasted pairwise-distance version
+    allocates O(chunk * V * 3) floats — tens of GB at production vertex
+    counts."""
     if len(verts) == 0 or len(gt_points) == 0:
         return 0.0
-    hit = 0
-    for s in range(0, len(gt_points), chunk):
-        g = gt_points[s:s + chunk]
-        d2 = ((g[:, None, :] - verts[None, :, :]) ** 2).sum(-1)
-        hit += int((d2.min(axis=1) < tau * tau).sum())
-    return hit / len(gt_points)
+    from scipy.spatial import cKDTree
+    d, _ = cKDTree(verts).query(gt_points, k=1,
+                                distance_upper_bound=tau * 1.001)
+    return float((d < tau).mean())
 
 
 def depth_l1(pred_depth: np.ndarray, gt_depth: np.ndarray) -> float:

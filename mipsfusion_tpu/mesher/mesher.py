@@ -46,6 +46,59 @@ def _grid_points(lo: np.ndarray, hi: np.ndarray, voxel: float):
     return pts, (len(xs), len(ys), len(zs)), (xs, ys, zs)
 
 
+def surface_occupancy(points_w: np.ndarray, lo: np.ndarray,
+                      hi: np.ndarray, cvox: float = 0.2,
+                      dilate: int = 1):
+    """Coarse occupancy of observed surface, as a point->bool query fn.
+
+    The reference culls its mesh query grid with an open3d VoxelGrid
+    built from keyframe back-projected surface points, radially dilated
+    by +-20% copies (ref Mesher.get_bounding_geometry :126-162 +
+    create_voxelgrids_from_pointcloud :80-95, vox_size=0.5). Here the
+    same coarse visibility is an occupancy grid (cvox voxels) grown by
+    ``dilate`` voxels — validity reaches ~cvox*(dilate..dilate+1) from
+    observed surface, uniformly instead of centroid-radially.
+
+    Marking far-from-surface grid points INVALID (rather than trusting
+    the field there) is what makes meshing robust: the SDF is only
+    supervised inside the truncation band around observed surface, so
+    querying it far away yields arbitrary crossings (spurious mesh) —
+    and the classification head saturates at +-1 in free space, which a
+    magnitude-based validity test would wrongly reject right next to
+    genuine surface.
+    """
+    lo = np.asarray(lo, np.float64) - cvox * (dilate + 1)
+    hi = np.asarray(hi, np.float64) + cvox * (dilate + 1)
+    dims = np.maximum(((hi - lo) / cvox).astype(int) + 1, 1)
+    occ = np.zeros(dims, bool)
+    idx = np.floor((points_w - lo) / cvox).astype(int)
+    ok = ((idx >= 0) & (idx < dims)).all(axis=1)
+    idx = idx[ok]
+    occ[idx[:, 0], idx[:, 1], idx[:, 2]] = True
+    if dilate:
+        from scipy.ndimage import binary_dilation
+        occ = binary_dilation(occ, iterations=dilate)
+
+    def query(q: np.ndarray) -> np.ndarray:
+        qi = np.floor((q - lo) / cvox).astype(int)
+        inb = ((qi >= 0) & (qi < dims)).all(axis=1)
+        qi = np.clip(qi, 0, dims - 1)
+        return inb & occ[qi[:, 0], qi[:, 1], qi[:, 2]]
+
+    return query
+
+
+def kf_surface_points(kf_world: np.ndarray, kf_rays: np.ndarray
+                      ) -> np.ndarray:
+    """Back-project stored keyframe rays to world surface points
+    (ref Mesher.get_bounding_geometry :133-147). kf_world [K,4,4],
+    kf_rays [K,R,7] = (dir, rgb, depth); zero-depth rays dropped."""
+    dirs_w = np.einsum("kij,krj->kri", kf_world[:, :3, :3],
+                       kf_rays[..., :3])
+    pts = kf_world[:, None, :3, 3] + dirs_w * kf_rays[..., 6:7]
+    return pts.reshape(-1, 3)[kf_rays[..., 6].reshape(-1) > 0]
+
+
 class Mesher:
     def __init__(self, fcfg: sr.FieldConfig, consts: sr.FieldConsts,
                  mesh_cfg: MeshConfig = MeshConfig()):
@@ -69,7 +122,13 @@ class Mesher:
         the jitted query compiles exactly once per param shape.
         """
         n = pts_local.shape[0]
-        chunk = min(self.cfg.query_chunk, max(n, 1))
+        # power-of-2 bucketing: masked queries have data-dependent point
+        # counts; a chunk size of exactly n would compile a fresh kernel
+        # per distinct count (minutes each on the remote-compile tunnel)
+        b = 1024
+        while b < min(n, self.cfg.query_chunk):
+            b *= 2
+        chunk = min(self.cfg.query_chunk, b)
         outs = []
         for s in range(0, n, chunk):
             seg = pts_local[s:s + chunk]
@@ -78,7 +137,20 @@ class Mesher:
                 seg = np.pad(seg, ((0, pad), (0, 0)))
             out = np.asarray(self._query(params, jnp.asarray(seg)))
             outs.append(out[:chunk - pad] if pad else out)
-        return np.concatenate(outs, axis=0)
+        return np.concatenate(outs, axis=0) if outs else np.zeros((0, 5),
+                                                                  np.float32)
+
+    def query_grid_masked(self, params: Dict, pts_local: np.ndarray,
+                          mask: np.ndarray, fill: float = 0.0
+                          ) -> np.ndarray:
+        """query_grid over pts_local[mask] only, scattered back to [N,5]
+        (unqueried rows = fill). The observed fraction of a scene grid
+        is typically well under half, so skipping invalid points cuts
+        mesh wall time proportionally."""
+        out = np.full((pts_local.shape[0], 5), fill, np.float32)
+        if mask.any():
+            out[mask] = self.query_grid(params, pts_local[mask])
+        return out
 
     # ------------------------------------------------------------------
     # per-submap mesh (ref Mesher.extract_single_mesh :288-402)
@@ -87,13 +159,27 @@ class Mesher:
     def extract_single_mesh(self, params: Dict, anchor_world: np.ndarray,
                             center_world: np.ndarray, length: np.ndarray,
                             trunc: float = 0.3, with_color: bool = True,
-                            bound_world: Optional[np.ndarray] = None):
+                            bound_world: Optional[np.ndarray] = None,
+                            observed_fn=None, grid_bounds=None):
         """Mesh one submap. The AABB (center, length) is in world coords;
         grid points are converted to the submap's local frame for SDF
         queries (ref :332-344), and vertices are returned in world coords.
+        ``grid_bounds`` (lo, hi) overrides the AABB-derived grid extent
+        (e.g. the observed-surface bbox — see extract_mesh_jointly).
+
+        ``observed_fn`` (points_w -> bool[N], see surface_occupancy) is
+        the coarse visibility mask of ref Mesher.py:316-325: grid points
+        it rejects are marked invalid for the extractor (the reference
+        passes the same mask to skimage marching_cubes) and are never
+        queried. Observed SDF values are clipped inside the truncation
+        band so saturated free space next to surface stays VALID —
+        validity means "observed", not "small |sdf|".
         """
-        lo = center_world - 0.5 * length
-        hi = center_world + 0.5 * length
+        if grid_bounds is not None:
+            lo, hi = np.asarray(grid_bounds[0]), np.asarray(grid_bounds[1])
+        else:
+            lo = center_world - 0.5 * length
+            hi = center_world + 0.5 * length
         if bound_world is not None:
             lo = np.maximum(lo, bound_world[:, 0])
             hi = np.minimum(hi, bound_world[:, 1])
@@ -101,8 +187,16 @@ class Mesher:
 
         w2l = np.linalg.inv(anchor_world)
         pts_l = pts_w @ w2l[:3, :3].T + w2l[:3, 3]
-        raw = self.query_grid(params, pts_l.astype(np.float32))
-        sdf = raw[:, 3].reshape(shape)
+        if observed_fn is not None:
+            obs = observed_fn(pts_w)
+            raw = self.query_grid_masked(params, pts_l.astype(np.float32),
+                                         obs)
+            sdf = np.where(obs, np.clip(raw[:, 3], -0.98 * trunc,
+                                        0.98 * trunc), 2.0 * trunc)
+        else:
+            raw = self.query_grid(params, pts_l.astype(np.float32))
+            sdf = raw[:, 3]
+        sdf = sdf.reshape(shape)
 
         verts_g, faces = marching_cubes(sdf, self.cfg.iso, trunc)
         if len(verts_g) == 0:
@@ -125,19 +219,36 @@ class Mesher:
                              anchors_world: np.ndarray,
                              centers: np.ndarray, lengths: np.ndarray,
                              trunc: float = 0.3, with_color: bool = True,
-                             bound_world: Optional[np.ndarray] = None):
+                             bound_world: Optional[np.ndarray] = None,
+                             observed_fn=None,
+                             submap_observed_fns=None, grid_bounds=None):
         """Fuse all submaps' SDFs into one mesh.
 
         anchors_world [M,4,4]; centers/lengths [M,3] world AABBs.
+        ``observed_fn``: coarse surface-occupancy visibility (see
+        extract_single_mesh); ``submap_observed_fns`` [M] replaces the
+        per-submap AABB membership masks with each submap's OWN
+        observed-surface occupancy (where its field is supervised);
+        ``grid_bounds`` (lo, hi) overrides the grid extent (e.g. the
+        all-keyframe surface bbox instead of the AABB union).
         """
         M = len(submap_params)
         lo = np.min(centers - 0.5 * lengths, axis=0)
         hi = np.max(centers + 0.5 * lengths, axis=0)
+        if grid_bounds is not None:
+            # mesh the region the fields were actually TRAINED on (the
+            # observed-surface bbox) rather than the manager's clamped
+            # submap AABBs: keyframe rays supervise the field wherever
+            # they land, which routinely extends beyond localMLP_max_len
+            lo, hi = np.asarray(grid_bounds[0]), np.asarray(grid_bounds[1])
         if bound_world is not None:
             lo = np.maximum(lo, bound_world[:, 0])
             hi = np.minimum(hi, bound_world[:, 1])
         pts_w, shape, axes = _grid_points(lo, hi, self.cfg.voxel_size)
         n = pts_w.shape[0]
+
+        obs = observed_fn(pts_w) if observed_fn is not None \
+            else np.ones(n, bool)
 
         sdf_all = np.zeros((n, M), np.float32)
         ent_all = np.zeros((n, M), np.float32)
@@ -147,15 +258,22 @@ class Mesher:
 
         for m in range(M):
             w2l = np.linalg.inv(anchors_world[m])
+            if submap_observed_fns is not None:
+                # per-submap validity = near surface observed by THIS
+                # submap's keyframes (= where its field is supervised)
+                mask_all[:, m] = submap_observed_fns[m](pts_w) & obs
+            else:
+                inlo = centers[m] - 0.5 * lengths[m]
+                inhi = centers[m] + 0.5 * lengths[m]
+                mask_all[:, m] = ((pts_w > inlo)
+                                  & (pts_w < inhi)).all(-1) & obs
             pts_l = pts_w @ w2l[:3, :3].T + w2l[:3, 3]
-            raw = self.query_grid(submap_params[m],
-                                  pts_l.astype(np.float32))
+            raw = self.query_grid_masked(submap_params[m],
+                                         pts_l.astype(np.float32),
+                                         mask_all[:, m])
             sdf_all[:, m] = raw[:, 3]
             ent_all[:, m] = raw[:, 4]
             rgb_all[:, m] = raw[:, :3]
-            inlo = centers[m] - 0.5 * lengths[m]
-            inhi = centers[m] + 0.5 * lengths[m]
-            mask_all[:, m] = ((pts_w > inlo) & (pts_w < inhi)).all(-1)
             dist_all[:, m] = np.linalg.norm(pts_w - centers[m], axis=-1)
 
         # Gaussian distance weights (ref convert_dist_to_weight :66-72)
@@ -170,6 +288,7 @@ class Mesher:
         w = np.where(wsum > 1e-12, w / np.maximum(wsum, 1e-12), 0.0)
 
         fused = (w * sdf_all).sum(axis=1)
+        fused = np.clip(fused, -0.98 * trunc, 0.98 * trunc)
         fused = np.where(visible, fused, np.inf)  # invalid -> skipped
         sdf_grid = fused.reshape(shape).astype(np.float32)
 

@@ -1370,6 +1370,18 @@ class MIPSFusionTPU:
         n_kf = int(state.n_kf)
         last_frame = int(state.kf_frame_ids[n_kf - 1]) if n_kf else 0
         self.last_switch_frame = int(state.last_switch_frame)
+        # Rebuild the host mirrors of slow-changing device state (see
+        # __init__: submap count, keyframe count, keyframe bindings) —
+        # everything inactive_refine_step / global_ba_consistency reads
+        # on host is derivable from the restored SlamState. Without
+        # this, a restored run silently no-ops background refinement
+        # (range(self._host_n_kf) == range(0)).
+        self._host_used = int(np.asarray(state.localMLP_info[:, 0]).sum())
+        self._host_n_kf = n_kf
+        self._host_kf_bind = np.asarray(state.keyframe_localMLP).copy()
+        # background refinement resumes iff inactive submaps exist
+        self.inactive_started = self._host_used > 1
+        self._loss_ewma = jnp.asarray(-1.0, jnp.float32)  # fresh regime
         return last_frame + 1
 
     def save_checkpoint(self, tag: str = "final"):
@@ -1411,14 +1423,60 @@ class MIPSFusionTPU:
         # field SDF is in units of trunc: the extractor's validity
         # threshold lives in those units (|sdf_units| < 1 is in-band)
         sdf_trunc_units = 0.99
+
+        # coarse surface-occupancy visibility from keyframe back-
+        # projected depth (the reference's VoxelGrid culling,
+        # ref Mesher.py:316-325 + :126-162): grid points far from ANY
+        # observed surface are invalid — the SDF is unsupervised there.
+        # The occupancies also define WHERE to mesh: each submap's field
+        # is supervised wherever its keyframes' rays land (the global
+        # bound normalizes coords, not the manager's clamped AABB), so
+        # the grid spans the observed-surface bbox and each submap's
+        # validity is its OWN keyframes' surface occupancy.
+        observed_fn = None
+        submap_fns = None
+        grid_bounds = None
+        n_kf = int(self._host_n_kf or np.asarray(st.n_kf))
+        if n_kf and self.config.get("mesh", {}).get("use_occupancy", True):
+            from ..mesher.mesher import kf_surface_points, surface_occupancy
+            kf_world = np.asarray(
+                self._kf_world_poses(st, np.arange(n_kf)))
+            kf_rays_np = np.asarray(st.kf_rays[:n_kf])
+            surf_pts = kf_surface_points(kf_world, kf_rays_np)
+            mcfg_mesh = self.config.get("mesh", {})
+            cvox = mcfg_mesh.get("occupancy_voxel", 0.2)
+            dil = mcfg_mesh.get("occupancy_dilate", 1)
+            observed_fn = surface_occupancy(
+                surf_pts, bound[:, 0], bound[:, 1], cvox=cvox, dilate=dil)
+            inb = (surf_pts > bound[:, 0]) & (surf_pts < bound[:, 1])
+            sp_in = surf_pts[inb.all(axis=1)]
+            if len(sp_in):
+                grid_bounds = (sp_in.min(axis=0) - 2 * cvox,
+                               sp_in.max(axis=0) + 2 * cvox)
+            bind = self._host_kf_bind[:n_kf]
+            submap_fns = []
+            for m in range(used):
+                sel = (bind[:, 0] == m) | (bind[:, 1] == m)
+                if sel.any():
+                    pts_m = kf_surface_points(kf_world[sel],
+                                              kf_rays_np[sel])
+                    submap_fns.append(surface_occupancy(
+                        pts_m, bound[:, 0], bound[:, 1], cvox=cvox,
+                        dilate=dil))
+                else:      # binding mirror empty: fall back to global
+                    submap_fns.append(observed_fn)
+
         if joint and used > 1:
             verts, faces, colors = mesher.extract_mesh_jointly(
                 params, anchors, info[:used, 1:4], info[:used, 4:7],
-                trunc=sdf_trunc_units, bound_world=bound)
+                trunc=sdf_trunc_units, bound_world=bound,
+                observed_fn=observed_fn, submap_observed_fns=submap_fns,
+                grid_bounds=grid_bounds)
         else:
             verts, faces, colors = mesher.extract_single_mesh(
                 params[0], anchors[0], info[0, 1:4], info[0, 4:7],
-                trunc=sdf_trunc_units, bound_world=bound)
+                trunc=sdf_trunc_units, bound_world=bound,
+                observed_fn=observed_fn, grid_bounds=grid_bounds)
 
         # reference post-extraction cleanup (ref Mesher.py:360-378):
         # small-component removal + keyframe-visibility face culling

@@ -63,6 +63,69 @@ def test_mid_sequence_resume(tmp_path):
     assert results["absolute_translational_error.rmse"] < 0.08, results
 
 
+def test_resume_rebuilds_host_mirrors_and_refines(tmp_path):
+    """VERDICT r3 #1 regression: resume_from must rebuild the host
+    mirrors (_host_used/_host_n_kf/_host_kf_bind) from the restored
+    SlamState — without them a restored run silently no-ops background
+    refinement (inactive_refine_step) and consistency-BA
+    (global_ba_consistency iterates range(_host_n_kf) == range(0))."""
+    import jax
+
+    cfg = tiny_config(18)
+    cfg["mapping"]["first_iters"] = 120
+    cfg["data"] = {"downsample": 1, "sc_factor": 1.0,
+                   "output": str(tmp_path), "exp_name": "resume_mirrors"}
+    ds = SyntheticDataset(cfg, n_frames=18, trajectory="orbit",
+                          span=18 / 200.0)
+
+    slam1 = MIPSFusionTPU(cfg, dataset=ds)
+    for i in range(13):
+        slam1.process_frame(ds[i], i)
+
+    # fabricate a second submap with an overlapping keyframe (kf 1 bound
+    # to (0, 1)), as a 2-submap run would leave it
+    st = slam1.state
+    slam1.submap_params[1] = slam1.initial_params
+    perturb = np.eye(4, dtype=np.float32)
+    perturb[0, 3] = 0.05
+    anchor1 = jnp.asarray(perturb) @ st.kf_c2w[0]
+    slam1.state = st._replace(
+        localMLP_info=st.localMLP_info.at[1, 0].set(1.0),
+        localMLP_first_kf=st.localMLP_first_kf.at[1].set(1),
+        keyframe_ref=st.keyframe_ref.at[1].set(-2),
+        keyframe_localMLP=st.keyframe_localMLP.at[1].set(
+            jnp.asarray([0, 1], jnp.int32)),
+        kf_c2w=st.kf_c2w.at[1].set(anchor1),
+    )
+    ckpt_dir = slam1.save_checkpoint("mid")
+
+    slam2 = MIPSFusionTPU(cfg, dataset=ds)
+    slam2.resume_from(ckpt_dir)
+
+    # mirrors rebuilt from the restored state
+    assert slam2._host_used == 2
+    assert slam2._host_n_kf == int(slam2.state.n_kf) and slam2._host_n_kf
+    np.testing.assert_array_equal(
+        slam2._host_kf_bind, np.asarray(slam2.state.keyframe_localMLP))
+    assert slam2.inactive_started
+
+    # background refinement actually mutates the inactive submap
+    inactive = 1 if slam2.active_id == 0 else 0
+    before = jax.tree.leaves(slam2.submap_params[inactive])[0].copy()
+    slam2.inactive_refine_step(13)
+    after = jax.tree.leaves(slam2.submap_params[inactive])[0]
+    assert not np.allclose(np.asarray(before), np.asarray(after)), \
+        "inactive_refine_step was a no-op after resume"
+
+    # consistency-BA actually moves the free anchor
+    anchors_before = np.asarray(slam2.state.kf_c2w[:2]).copy()
+    slam2.global_ba_consistency(n_iters=3, n_rays=64)
+    anchors_after = np.asarray(slam2.state.kf_c2w[:2])
+    assert np.allclose(anchors_before[0], anchors_after[0])
+    assert not np.allclose(anchors_before[1], anchors_after[1]), \
+        "global_ba_consistency was a no-op after resume"
+
+
 def test_opt_state_roundtrip(tmp_path):
     """Adam moments survive the checkpoint: the restored optimizer state
     equals the saved one leaf-for-leaf (the reference's checkpoints drop

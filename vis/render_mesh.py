@@ -92,12 +92,39 @@ def main():
             verts, faces, colors, kf_world, K_mat, H, W, kf_max_d,
             min_component_area=min_area)
 
+    # observed-surface occupancy validity (same scheme as
+    # system.extract_mesh): global + per-submap keyframe surface points
+    from mipsfusion_tpu.mesher.mesher import (kf_surface_points,
+                                              surface_occupancy)
+    kf_rays_np = np.asarray(state.kf_rays)[:n_kf]
+    mesh_cfg = cfg.get("mesh", {})
+    cvox = mesh_cfg.get("occupancy_voxel", 0.2)
+    dil = mesh_cfg.get("occupancy_dilate", 1)
+    bind = np.asarray(state.keyframe_localMLP)[:n_kf]
+    surf_pts = kf_surface_points(kf_world, kf_rays_np)
+    observed_fn = surface_occupancy(surf_pts, bound[:, 0], bound[:, 1],
+                                    cvox=cvox, dilate=dil)
+    inb = ((surf_pts > bound[:, 0]) & (surf_pts < bound[:, 1])).all(1)
+    sp_in = surf_pts[inb]
+    grid_bounds = (sp_in.min(axis=0) - 2 * cvox,
+                   sp_in.max(axis=0) + 2 * cvox) if len(sp_in) else None
+    submap_fns = []
+    for i in range(used):
+        sel = (bind[:, 0] == i) | (bind[:, 1] == i)
+        if sel.any():
+            submap_fns.append(surface_occupancy(
+                kf_surface_points(kf_world[sel], kf_rays_np[sel]),
+                bound[:, 0], bound[:, 1], cvox=cvox, dilate=dil))
+        else:
+            submap_fns.append(observed_fn)
+
     for i in range(used):
         if submap_params[i] is None:
             continue
         verts, faces, colors = mesher.extract_single_mesh(
             submap_params[i], anchors[i], info[i, 1:4], info[i, 4:7],
-            trunc=0.99, bound_world=bound)
+            trunc=0.99, bound_world=bound, observed_fn=submap_fns[i],
+            grid_bounds=grid_bounds)
         verts, faces, colors = cleanup(verts, faces, colors)
         out = os.path.join(args.seq_result, f"mesh_{i}_{args.ckpt}.ply")
         save_mesh_ply(out, verts, faces, colors)
@@ -107,7 +134,8 @@ def main():
         params = [submap_params[i] for i in range(used)]
         verts, faces, colors = mesher.extract_mesh_jointly(
             params, anchors, info[:used, 1:4], info[:used, 4:7],
-            trunc=0.99, bound_world=bound)
+            trunc=0.99, bound_world=bound, observed_fn=observed_fn,
+            submap_observed_fns=submap_fns, grid_bounds=grid_bounds)
         verts, faces, colors = cleanup(verts, faces, colors)
         out = os.path.join(args.seq_result, f"mesh_joint_{args.ckpt}.ply")
         save_mesh_ply(out, verts, faces, colors)
