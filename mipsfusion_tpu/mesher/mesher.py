@@ -20,6 +20,7 @@ TPU-native counterpart of the reference Mesher
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import Dict, List, Optional
 
 import jax
@@ -78,14 +79,23 @@ def surface_occupancy(points_w: np.ndarray, lo: np.ndarray,
     if dilate:
         from scipy.ndimage import binary_dilation
         occ = binary_dilation(occ, iterations=dilate)
+    return _Occupancy(occ, lo.astype(np.float32), float(cvox))
 
-    def query(q: np.ndarray) -> np.ndarray:
-        qi = np.floor((q - lo) / cvox).astype(int)
+
+class _Occupancy:
+    """Callable point->bool occupancy query exposing its grid (the
+    device fused-SDF path uploads .occ/.lo/.cvox once — a few tens of
+    KB — instead of round-tripping per-point masks)."""
+
+    def __init__(self, occ: np.ndarray, lo: np.ndarray, cvox: float):
+        self.occ, self.lo, self.cvox = occ, lo, cvox
+
+    def __call__(self, q: np.ndarray) -> np.ndarray:
+        dims = np.asarray(self.occ.shape)
+        qi = np.floor((q - self.lo) / self.cvox).astype(int)
         inb = ((qi >= 0) & (qi < dims)).all(axis=1)
         qi = np.clip(qi, 0, dims - 1)
-        return inb & occ[qi[:, 0], qi[:, 1], qi[:, 2]]
-
-    return query
+        return inb & self.occ[qi[:, 0], qi[:, 1], qi[:, 2]]
 
 
 def kf_surface_points(kf_world: np.ndarray, kf_rays: np.ndarray
@@ -212,6 +222,96 @@ class Mesher:
         return verts_w, faces, colors
 
     # ------------------------------------------------------------------
+    # device-side fused TSDF volume (joint-mesh fast path)
+    # ------------------------------------------------------------------
+
+    def _get_fused_volume_fn(self, M: int, chunk: int):
+        """Jitted per-chunk fused-SDF evaluator over stacked submap
+        params: grid points are GENERATED on device from the flat index,
+        every submap's (sdf, entropy) is queried on device, and the
+        entropy/distance/occupancy weighting fuses them there — the host
+        receives one fp16 scalar per grid point instead of uploading
+        [N,3] points and downloading [N,5] channels per submap (the
+        remote-tunnel transfers dominated mesh wall time)."""
+        key = ("fused", M, chunk)
+        fn = getattr(self, "_fused_cache", None)
+        if fn is None:
+            self._fused_cache = {}
+        fn = self._fused_cache.get(key)
+        if fn is not None:
+            return fn
+        fcfg, consts = self.fcfg, self.consts
+
+        @partial(jax.jit, static_argnames=("ny", "nz"))
+        def run(stacked, w2l, centers, sigma, occ_m, occ_glob, occ_lo,
+                cvox, lo, voxel, start, trunc, ny: int, nz: int):
+            idx = start + jnp.arange(chunk)
+            ix = idx // (ny * nz)
+            iy = (idx // nz) % ny
+            iz = idx % nz
+            pts = lo + voxel * jnp.stack([ix, iy, iz], -1).astype(
+                jnp.float32)                              # [B, 3]
+
+            qi = jnp.floor((pts - occ_lo) / cvox).astype(jnp.int32)
+            dims = jnp.asarray(occ_glob.shape, jnp.int32)
+            inb = ((qi >= 0) & (qi < dims)).all(-1)
+            qc = jnp.clip(qi, 0, dims - 1)
+            obs = inb & occ_glob[qc[:, 0], qc[:, 1], qc[:, 2]]
+            occ_pm = occ_m[:, qc[:, 0], qc[:, 1], qc[:, 2]]  # [M, B]
+
+            def one(p, w2l_m):
+                pl = pts @ w2l_m[:3, :3].T + w2l_m[:3, 3]
+                out = sr.run_network_fused(p, pl, fcfg, consts)
+                return out[:, 3], out[:, 4]
+
+            sdf_m, ent_m = jax.vmap(one)(stacked, w2l)       # [M, B]
+            dist = jnp.linalg.norm(pts[None] - centers[:, None],
+                                   axis=-1)                  # [M, B]
+            mask = occ_pm & obs[None]
+            w = jnp.exp(-10.0 * ent_m) \
+                * jnp.exp(-0.5 * (dist / sigma) ** 2) * mask
+            wsum = jnp.sum(w, axis=0)
+            fused = jnp.sum(w * sdf_m, axis=0) / jnp.maximum(wsum, 1e-12)
+            fused = jnp.clip(fused, -0.98 * trunc, 0.98 * trunc)
+            fused = jnp.where(mask.any(0), fused, 2.0 * trunc)
+            return fused.astype(jnp.float16)
+
+        self._fused_cache[key] = run
+        return run
+
+    def fused_sdf_volume_device(self, submap_params, anchors_world,
+                                centers, sigma, observed: "_Occupancy",
+                                submap_observed, lo, shape,
+                                voxel: float, trunc: float) -> np.ndarray:
+        """Fused TSDF volume [nx,ny,nz] computed entirely on device."""
+        M = len(submap_params)
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *submap_params)
+        w2l = jnp.asarray(np.linalg.inv(anchors_world), jnp.float32)
+        occ_m = jnp.asarray(np.stack(
+            [s.occ for s in submap_observed]).astype(np.bool_))
+        occ_glob = jnp.asarray(observed.occ.astype(np.bool_))
+        nx, ny, nz = shape
+        N = nx * ny * nz
+        chunk = min(self.cfg.query_chunk, -(-N // 8) * 8)
+        b = 8192
+        while b < chunk:
+            b *= 2
+        chunk = min(self.cfg.query_chunk, b)
+        run = self._get_fused_volume_fn(M, chunk)
+        out = np.empty(N, np.float16)
+        centers_d = jnp.asarray(centers, jnp.float32)
+        lo_d = jnp.asarray(lo, jnp.float32)
+        occ_lo = jnp.asarray(observed.lo, jnp.float32)
+        for s in range(0, N, chunk):
+            res = run(stacked, w2l, centers_d,
+                      jnp.float32(sigma), occ_m, occ_glob, occ_lo,
+                      jnp.float32(observed.cvox), lo_d,
+                      jnp.float32(voxel), jnp.int32(s),
+                      jnp.float32(trunc), ny=ny, nz=nz)
+            out[s:s + chunk] = np.asarray(res)[:min(chunk, N - s)]
+        return out.reshape(nx, ny, nz).astype(np.float32)
+
+    # ------------------------------------------------------------------
     # joint mesh (ref extract_mesh_jointly_geometry :418-581)
     # ------------------------------------------------------------------
 
@@ -244,53 +344,77 @@ class Mesher:
         if bound_world is not None:
             lo = np.maximum(lo, bound_world[:, 0])
             hi = np.minimum(hi, bound_world[:, 1])
-        pts_w, shape, axes = _grid_points(lo, hi, self.cfg.voxel_size)
-        n = pts_w.shape[0]
+        # sigma for the Gaussian distance weights
+        # (ref convert_dist_to_weight :66-72: sigma = max distance / 3;
+        # the max over grid points is attained at a grid-bbox corner)
+        corners = np.stack(np.meshgrid([lo[0], hi[0]], [lo[1], hi[1]],
+                                       [lo[2], hi[2]], indexing="ij"),
+                           axis=-1).reshape(-1, 3)
+        max_d = max(float(np.linalg.norm(corners - c, axis=1).max())
+                    for c in centers)
+        sigma = max(max_d, 1e-6) / 3.0
 
-        obs = observed_fn(pts_w) if observed_fn is not None \
-            else np.ones(n, bool)
+        device_path = (isinstance(observed_fn, _Occupancy)
+                       and submap_observed_fns is not None
+                       and all(isinstance(f, _Occupancy)
+                               for f in submap_observed_fns)
+                       and len({f.occ.shape for f in submap_observed_fns}
+                               | {observed_fn.occ.shape}) == 1)
+        if device_path:
+            # _grid_points uses arange(lo, hi + voxel): reproduce dims
+            xs = np.arange(lo[0], hi[0] + self.cfg.voxel_size,
+                           self.cfg.voxel_size, dtype=np.float32)
+            ys = np.arange(lo[1], hi[1] + self.cfg.voxel_size,
+                           self.cfg.voxel_size, dtype=np.float32)
+            zs = np.arange(lo[2], hi[2] + self.cfg.voxel_size,
+                           self.cfg.voxel_size, dtype=np.float32)
+            shape = (len(xs), len(ys), len(zs))
+            sdf_grid = self.fused_sdf_volume_device(
+                submap_params, anchors_world, centers, sigma,
+                observed_fn, list(submap_observed_fns), lo, shape,
+                self.cfg.voxel_size, trunc)
+        else:
+            pts_w, shape, axes = _grid_points(lo, hi, self.cfg.voxel_size)
+            n = pts_w.shape[0]
+            obs = observed_fn(pts_w) if observed_fn is not None \
+                else np.ones(n, bool)
 
-        sdf_all = np.zeros((n, M), np.float32)
-        ent_all = np.zeros((n, M), np.float32)
-        rgb_all = np.zeros((n, M, 3), np.float32)
-        mask_all = np.zeros((n, M), bool)
-        dist_all = np.zeros((n, M), np.float32)
+            sdf_all = np.zeros((n, M), np.float32)
+            ent_all = np.zeros((n, M), np.float32)
+            mask_all = np.zeros((n, M), bool)
+            dist_all = np.zeros((n, M), np.float32)
 
-        for m in range(M):
-            w2l = np.linalg.inv(anchors_world[m])
-            if submap_observed_fns is not None:
-                # per-submap validity = near surface observed by THIS
-                # submap's keyframes (= where its field is supervised)
-                mask_all[:, m] = submap_observed_fns[m](pts_w) & obs
-            else:
-                inlo = centers[m] - 0.5 * lengths[m]
-                inhi = centers[m] + 0.5 * lengths[m]
-                mask_all[:, m] = ((pts_w > inlo)
-                                  & (pts_w < inhi)).all(-1) & obs
-            pts_l = pts_w @ w2l[:3, :3].T + w2l[:3, 3]
-            raw = self.query_grid_masked(submap_params[m],
-                                         pts_l.astype(np.float32),
-                                         mask_all[:, m])
-            sdf_all[:, m] = raw[:, 3]
-            ent_all[:, m] = raw[:, 4]
-            rgb_all[:, m] = raw[:, :3]
-            dist_all[:, m] = np.linalg.norm(pts_w - centers[m], axis=-1)
+            for m in range(M):
+                w2l = np.linalg.inv(anchors_world[m])
+                if submap_observed_fns is not None:
+                    # per-submap validity = near surface observed by
+                    # THIS submap's keyframes (where it is supervised)
+                    mask_all[:, m] = submap_observed_fns[m](pts_w) & obs
+                else:
+                    inlo = centers[m] - 0.5 * lengths[m]
+                    inhi = centers[m] + 0.5 * lengths[m]
+                    mask_all[:, m] = ((pts_w > inlo)
+                                      & (pts_w < inhi)).all(-1) & obs
+                pts_l = pts_w @ w2l[:3, :3].T + w2l[:3, 3]
+                raw = self.query_grid_masked(submap_params[m],
+                                             pts_l.astype(np.float32),
+                                             mask_all[:, m])
+                sdf_all[:, m] = raw[:, 3]
+                ent_all[:, m] = raw[:, 4]
+                dist_all[:, m] = np.linalg.norm(pts_w - centers[m],
+                                                axis=-1)
 
-        # Gaussian distance weights (ref convert_dist_to_weight :66-72)
-        max_d = np.maximum(dist_all.max(), 1e-6)
-        sigma = max_d / 3.0
-        gauss = np.exp(-0.5 * (dist_all / sigma) ** 2)
+            gauss = np.exp(-0.5 * (dist_all / sigma) ** 2)
+            # entropy-inverse weights (ref compute_weights :79-96)
+            w = np.exp(-10.0 * ent_all) * gauss * mask_all
+            wsum = w.sum(axis=1, keepdims=True)
+            visible = mask_all.any(axis=1)
+            w = np.where(wsum > 1e-12, w / np.maximum(wsum, 1e-12), 0.0)
 
-        # entropy-inverse weights (ref compute_weights :79-96)
-        w = np.exp(-10.0 * ent_all) * gauss * mask_all
-        wsum = w.sum(axis=1, keepdims=True)
-        visible = mask_all.any(axis=1)
-        w = np.where(wsum > 1e-12, w / np.maximum(wsum, 1e-12), 0.0)
-
-        fused = (w * sdf_all).sum(axis=1)
-        fused = np.clip(fused, -0.98 * trunc, 0.98 * trunc)
-        fused = np.where(visible, fused, np.inf)  # invalid -> skipped
-        sdf_grid = fused.reshape(shape).astype(np.float32)
+            fused = (w * sdf_all).sum(axis=1)
+            fused = np.clip(fused, -0.98 * trunc, 0.98 * trunc)
+            fused = np.where(visible, fused, np.inf)  # invalid -> skipped
+            sdf_grid = fused.reshape(shape).astype(np.float32)
 
         verts_g, faces = marching_cubes(sdf_grid, self.cfg.iso, trunc)
         if len(verts_g) == 0:

@@ -43,8 +43,8 @@ from jax.experimental.pallas import tpu as pltpu
 import os as _os
 _INTERPRET = bool(_os.environ.get("MIPS_PALLAS_INTERPRET"))
 
-from .triplane_pallas import (BLOCK_N, _coords, _flat_planes, _onehotT,
-                              _pad_n, _plane_tents, _sT)
+from .triplane_pallas import (BLOCK_N, _VTENT_MXU, _coords, _flat_planes,
+                              _onehotT, _pad_n, _plane_tents, _sT)
 
 # output row layout of the full query (matches decoder_apply's column
 # layout: rgb(3), sdf(1), entropy(1), prob(n_class)); padded to 16 rows
@@ -116,12 +116,15 @@ def _make_field_kernel(resolutions: Sequence[int], F: int, n_freq: int,
             RF = R * F
             iota_rb = jax.lax.broadcasted_iota(
                 jnp.int32, (R, B), 0).astype(f32)
-            iota_rfb = (jax.lax.broadcasted_iota(jnp.int32, (RF, B), 0)
-                        // F).astype(f32)
+            iota_rfb = None if _VTENT_MXU else (
+
+                jax.lax.broadcasted_iota(jnp.int32, (RF, B), 0)
+
+                // F).astype(f32)
             ST = _sT(F, RF, jnp.bfloat16)
             acc_dt = jnp.bfloat16 if _BF16_PSUM else f32
             tents, _ = _plane_tents(xT_ref, iota_rb, iota_rfb, R,
-                                    jnp.bfloat16, acc_dt)
+                                    jnp.bfloat16, acc_dt, F=F)
             # sum the three plane products and run ONE fold matmul per
             # scale (3x fewer MXU passes than fold-per-plane)
             psum = jnp.zeros((RF, B), acc_dt)

@@ -85,30 +85,72 @@ def _sT(F: int, RF: int, dtype):
     return (cols % F == rows).astype(dtype)
 
 
-def _plane_tents(xT_ref, iota_rb, iota_rfb, R: int, u_dtype, v_dtype):
+# A/B knob: the [R*F, B] v-tents do F-fold redundant VPU work (every v
+# row is repeated F times); MIPS_VTENT_MXU=1 builds the tent at [R, B]
+# and expands it to [RF, B] with a constant 0/1 matmul on the MXU.
+# MEASURED SLOWER on v5e (full-budget steady frame 58.5 vs 50.6 ms,
+# 2026-08-19): the [RF, R] x [R, B] expansion runs at K=R=32/64, well
+# under the 128-deep MXU's efficient contraction size, and costs more
+# than the VPU ops it removes. Kept as a documented negative result —
+# default OFF.
+_VTENT_MXU = bool(_os.environ.get("MIPS_VTENT_MXU"))
+
+
+def _expandF(RF: int, R: int, dtype):
+    """Constant expansion matrix E [RF, R]: E[vF+f, v'] = (v == v')."""
+    F = RF // R
+    rows = jax.lax.broadcasted_iota(jnp.int32, (RF, R), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (RF, R), 1)
+    return (rows // F == cols).astype(dtype)
+
+
+def _vexpand(w_rb, RF: int, v_dtype):
+    R = w_rb.shape[0]
+    E = _expandF(RF, R, jnp.bfloat16)
+    out = jax.lax.dot_general(E, w_rb.astype(jnp.bfloat16),
+                              (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    return out.astype(v_dtype)
+
+
+def _plane_tents(xT_ref, iota_rb, iota_rfb, R: int, u_dtype, v_dtype,
+                 F: int = None):
     """Per-plane (WuT, WvT) interp matrices for one scale, with shared
     tents hoisted: the planes sample (u, v) = (x,y), (x,z), (y,z), so
     only x and y are ever a u-coordinate and only y and z a
     v-coordinate — 2 tents at [R, B] + 2 at [R*F, B] instead of the 3+3
     a per-plane build would construct (the tent builds dominate the
-    triplane VPU cost; see BASELINE.md)."""
+    triplane VPU cost; see BASELINE.md). With _VTENT_MXU the v side is
+    built at [R, B] and MXU-expanded (pass iota_rfb=None, F=F)."""
     px = _coords(xT_ref[0:1], R)
     py = _coords(xT_ref[1:2], R)
     pz = _coords(xT_ref[2:3], R)
     wx = _onehotT(iota_rb, px, u_dtype)
     wy = _onehotT(iota_rb, py, u_dtype)
-    wyF = _onehotT(iota_rfb, py, v_dtype)
-    wzF = _onehotT(iota_rfb, pz, v_dtype)
+    if iota_rfb is None:
+        wz = _onehotT(iota_rb, pz, u_dtype)
+        wyF = _vexpand(wy, R * F, v_dtype)
+        wzF = _vexpand(wz, R * F, v_dtype)
+    else:
+        wyF = _onehotT(iota_rfb, py, v_dtype)
+        wzF = _onehotT(iota_rfb, pz, v_dtype)
     return ((wx, wyF), (wx, wzF), (wy, wzF)), (px, py, pz)
 
 
-def _plane_tents_diff(pcoords, iota_rb, iota_rfb, u_dtype, v_dtype):
+def _plane_tents_diff(pcoords, iota_rb, iota_rfb, u_dtype, v_dtype,
+                      F: int = None):
     """d/dcoord one-hots matching _plane_tents' plane order."""
     px, py, pz = pcoords
     dx = _onehotT_diff(iota_rb, px, u_dtype)
     dy = _onehotT_diff(iota_rb, py, u_dtype)
-    dyF = _onehotT_diff(iota_rfb, py, v_dtype)
-    dzF = _onehotT_diff(iota_rfb, pz, v_dtype)
+    if iota_rfb is None:
+        R = dx.shape[0]
+        dz = _onehotT_diff(iota_rb, pz, u_dtype)
+        dyF = _vexpand(dy, R * F, v_dtype)
+        dzF = _vexpand(dz, R * F, v_dtype)
+    else:
+        dyF = _onehotT_diff(iota_rfb, py, v_dtype)
+        dzF = _onehotT_diff(iota_rfb, pz, v_dtype)
     return ((dx, dyF), (dx, dzF), (dy, dzF))
 
 
@@ -135,11 +177,14 @@ def _make_fwd_kernel(resolutions: Sequence[int], F: int, has_cp: bool):
             RF = R * F
             iota_rb = jax.lax.broadcasted_iota(
                 jnp.int32, (R, B), 0).astype(jnp.float32)
-            iota_rfb = (jax.lax.broadcasted_iota(jnp.int32, (RF, B), 0)
-                        // F).astype(jnp.float32)
+            iota_rfb = None if _VTENT_MXU else (
+
+                jax.lax.broadcasted_iota(jnp.int32, (RF, B), 0)
+
+                // F).astype(jnp.float32)
             ST = _sT(F, RF, jnp.bfloat16)
             tents, _ = _plane_tents(xT_ref, iota_rb, iota_rfb, R,
-                                    jnp.bfloat16, jnp.bfloat16)
+                                    jnp.bfloat16, jnp.bfloat16, F=F)
             acc = jnp.zeros((F, B), jnp.float32)
             for p in range(3):
                 WuT, WvT = tents[p]
@@ -219,15 +264,18 @@ def _make_bwd_plane_kernel(resolutions: Sequence[int], F: int,
             RF = R * F
             iota_rb = jax.lax.broadcasted_iota(
                 jnp.int32, (R, B), 0).astype(jnp.float32)
-            iota_rfb = (jax.lax.broadcasted_iota(jnp.int32, (RF, B), 0)
-                        // F).astype(jnp.float32)
+            iota_rfb = None if _VTENT_MXU else (
+
+                jax.lax.broadcasted_iota(jnp.int32, (RF, B), 0)
+
+                // F).astype(jnp.float32)
             Sx = _s(RF, F, jnp.bfloat16)
             gT = g_ref[si * F:(si + 1) * F, :].astype(jnp.bfloat16)
             g_exp = jax.lax.dot_general(
                 Sx, gT, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)          # [RF, B]
             tents, _ = _plane_tents(xT_ref, iota_rb, iota_rfb, R,
-                                    jnp.bfloat16, jnp.float32)
+                                    jnp.bfloat16, jnp.float32, F=F)
             for p in range(3):
                 WuT, WvT = tents[p]
                 MT = (WvT * g_exp).astype(jnp.bfloat16)      # [RF, B]
@@ -333,8 +381,11 @@ def _make_bwd_x_kernel(resolutions: Sequence[int], F: int, has_cp: bool):
             RF = R * F
             iota_rb = jax.lax.broadcasted_iota(
                 jnp.int32, (R, B), 0).astype(jnp.float32)
-            iota_rfb = (jax.lax.broadcasted_iota(jnp.int32, (RF, B), 0)
-                        // F).astype(jnp.float32)
+            iota_rfb = None if _VTENT_MXU else (
+
+                jax.lax.broadcasted_iota(jnp.int32, (RF, B), 0)
+
+                // F).astype(jnp.float32)
             Sx = _s(RF, F, jnp.bfloat16)
             gT = g_ref[si * F:(si + 1) * F, :].astype(jnp.bfloat16)
             g_exp = jax.lax.dot_general(
@@ -342,9 +393,9 @@ def _make_bwd_x_kernel(resolutions: Sequence[int], F: int, has_cp: bool):
                 preferred_element_type=jnp.float32)          # [RF, B]
             scale = jnp.float32(R - 1)
             tents, pcoords = _plane_tents(xT_ref, iota_rb, iota_rfb, R,
-                                          jnp.bfloat16, jnp.float32)
+                                          jnp.bfloat16, jnp.float32, F=F)
             dtents = _plane_tents_diff(pcoords, iota_rb, iota_rfb,
-                                       jnp.bfloat16, jnp.float32)
+                                       jnp.bfloat16, jnp.float32, F=F)
             for p in range(3):
                 WuT, WvT = tents[p]
                 DuT, DvT = dtents[p]

@@ -204,6 +204,54 @@ def _overlap_verify(st: slam_state.SlamState, depth, rays_d, pose_world,
     }
 
 
+@partial(jax.jit, static_argnames=("k", "edge", "H", "W", "n_per",
+                                   "n_incl", "keyframe_every", "R",
+                                   "n_iters"))
+def _overlap_verify_icp(st: slam_state.SlamState, depth, rays_d,
+                        pose_world, mo_id, active_id, rows, cols, K_mat,
+                        kf_frames, cur_frame, rr_src, cc_src, sub_incl,
+                        threshold, min_trans, min_count,
+                        k: int, edge: int, H: int, W: int, n_per: int,
+                        n_incl: int, keyframe_every: int, R: int,
+                        n_iters: int = 15):
+    """Overlap verification AND ICP rectification as ONE device program
+    with ONE batched readback. The keyframe selection between them
+    (enough visible overlap points, ref PoseCorrector.py:117-123) runs
+    on device: selected top-k ids are stably compacted to the front and
+    cycle-padded across the k slots with phased per-slot ray indices, so
+    the full icp_dst_n budget lands on the selected keyframes at the
+    reference's density with static shapes. The split version cost one
+    extra remote-tunnel round-trip per verification attempt — the
+    dominant share of the switch-keyframe wall time (device compute for
+    verify+ICP is ~0.2 ms; each readback RTT is tens of ms)."""
+    ver = _overlap_verify(st, depth, rays_d, pose_world, mo_id,
+                          active_id, rows, cols, K_mat, kf_frames,
+                          k=k, edge=edge, H=H, W=W)
+    # device-side keyframe selection + cycle-padding
+    sel = (ver["counts"] > min_count) & ver["top_valid"]
+    sel = jnp.where(jnp.any(sel), sel, ver["top_valid"])
+    order = jnp.argsort(~sel, stable=True)        # selected ids first
+    n_used = jnp.maximum(jnp.sum(sel), 1)
+    use_ids = ver["top_kf_ids"][order[jnp.arange(k) % n_used]]
+    # phased per-slot ray indices: slot i samples segment i // n_used of
+    # an even spread over the keyframe ray store
+    reps = (k + n_used - 1) // n_used
+    total = n_per * reps
+    seg = jnp.arange(k)[:, None] // n_used        # [k, 1]
+    pos = seg * n_per + jnp.arange(n_per)[None, :]
+    sub_dst = jnp.clip(
+        (pos * jnp.maximum(R - 1, 1)) // jnp.maximum(total - 1, 1),
+        0, R - 1).astype(jnp.int32)               # [k, n_per]
+    n_in, pose_final, pose_ini = _switch_icp(
+        st, use_ids, depth, rays_d, mo_id, active_id, cur_frame,
+        kf_frames, rr_src, cc_src, sub_dst, sub_incl, threshold,
+        min_trans, n_per=n_per, n_incl=n_incl,
+        keyframe_every=keyframe_every, n_iters=n_iters)
+    ver.update({"n_inliers": n_in, "pose_final": pose_final,
+                "pose_ini": pose_ini})
+    return ver
+
+
 @partial(jax.jit,
          static_argnames=("n_per", "n_incl", "keyframe_every", "n_iters"))
 def _switch_icp(st: slam_state.SlamState, use_ids, depth, rays_d,
@@ -527,6 +575,14 @@ class MIPSFusionTPU:
         self.init_chunk = int(m.get("first_iters_chunk", 0))
         self._pending_init_iters = 0
         self._pending_init_rays = None
+        # Deferred switch-back PGO: drains on the frame after the switch
+        # keyframe (the reference defers global BA to the background
+        # process the same way, ref mipsfusion.py:700-706 ->
+        # InactiveMap.py:531-533; switch-BA stays synchronous like the
+        # reference's ActiveMap — see _drain_switch_chain)
+        self.switch_chain_defer = bool(m.get("switch_chain_defer", True))
+        self._pending_switch: Optional[Dict] = None
+        self._last_verify: Optional[Dict] = None
         # ICP cloud subsampling (the reference feeds full 30k-ray clouds
         # to open3d; we subsample for the brute-force NN matmul and scale
         # the min-correspondence threshold accordingly)
@@ -738,7 +794,8 @@ class MIPSFusionTPU:
             bool(switch_tracking), st.active_first_kf, self.lw,
             n_ro, n_go, self.keyframe_every,
             from_current=bool(switch_tracking),
-            loss_ewma=self._loss_ewma)
+            loss_ewma=self._loss_ewma,
+            ray_sharding=self._ray_sharding)
         self.state = st._replace(est_c2w=upd.est_c2w,
                                  est_c2w_rel=upd.est_c2w_rel,
                                  keyframe_ref=upd.keyframe_ref)
@@ -789,6 +846,7 @@ class MIPSFusionTPU:
         initial params and gets the first-frame fit.
         """
         self._flush_pending_init()
+        self._flush_pending_switch()
         st = self.state
         lb = self.manager.last_binding if self.use_manager else None
         new_id = (int(lb[1][0]) if lb is not None
@@ -852,6 +910,7 @@ class MIPSFusionTPU:
         handoff is an index swap; the tracked pose is replaced by the
         ICP-rectified local pose computed during overlap verification."""
         self._flush_pending_init()
+        self._flush_pending_switch()
         st = self.state
         lb = self.manager.last_binding if self.use_manager else None
         back_id = (int(lb[1][0]) if lb is not None
@@ -867,9 +926,11 @@ class MIPSFusionTPU:
         self.inactive_started = True
         self._loss_ewma = jnp.asarray(-1.0, jnp.float32)  # new loss regime
 
-    def local_ba_switch(self, frame: Dict, kf_id: int, i: int):
+    def local_ba_switch(self, frame: Dict, kf_id: int, i: int,
+                        frame_rays: Optional[jnp.ndarray] = None):
         """Pose-only BA of the loop keyframe vs the switched-to submap
-        (ref :379-444)."""
+        (ref :379-444). ``frame_rays`` carries the switch frame's packed
+        rays when the call is deferred past that frame."""
         st = self.state
         data = self.manager.ovlp_data or {}
         top_kf_ids = data.get("top_kf_ids")
@@ -877,14 +938,39 @@ class MIPSFusionTPU:
             return
         kf_mask = np.zeros(self.cap.n_keyframes, bool)
         kf_mask[np.asarray(top_kf_ids)] = True
+        if frame_rays is None:
+            frame_rays = self._packed_frame.reshape(-1, 7)
 
         self.state = _switch_ba_fused(
             st, self.submap_params[self.active_id], self._next_key(),
-            jnp.asarray(kf_mask), self._packed_frame.reshape(-1, 7),
+            jnp.asarray(kf_mask), frame_rays,
             jnp.asarray(i, jnp.int32), self._kf_frames_dev,
             self.fcfg, self.consts, self.lw, self.sw_lr_rot,
             self.sw_lr_trans, self.sw_map_num, self.mcfg.sample,
             self.mcfg.pose_accum_step)
+
+    def _drain_switch_chain(self):
+        """The deferred pose-graph optimization of a switch-back, run on
+        the frame after the switch keyframe — the re-expression of the
+        reference's background global-BA deferral (ref
+        mipsfusion.py:700-706 sets do_globalBA; InactiveMap.py:531-533
+        picks it up whenever the background process gets there; the
+        switch-time local_BA_switch stays SYNCHRONOUS in the reference's
+        ActiveMap, ref :703, and here too — an A/B that also deferred it
+        destabilized the return leg: outback full-budget ATE 9.4 ->
+        260 mm with a missed switch-back)."""
+        ps = self._pending_switch
+        if ps is None:
+            return
+        self.global_ba(ids=ps["ids"])
+        self._pending_switch = None
+
+    def _flush_pending_switch(self):
+        """Finish deferred switch work synchronously (before events that
+        must see converged poses/anchors: another switch, meshing,
+        checkpoints, evaluation)."""
+        while self._pending_switch is not None:
+            self._drain_switch_chain()
 
     # ------------------------------------------------------------------
     # loop-closure verification (ref Manager.find_overlapping_region
@@ -915,9 +1001,10 @@ class MIPSFusionTPU:
                                  pose_world: jnp.ndarray):
         """Verify that the current keyframe genuinely re-observes
         submap mo_id, then ICP-rectify the switch pose. Returns
-        (ok, data). TWO fused device programs + TWO batched readbacks
-        (the eager chain cost ~600 ms of tunnel round-trips per switch
-        event before fusing)."""
+        (ok, data). ONE fused device program + ONE batched readback —
+        the eager chain cost ~600 ms of tunnel round-trips per switch
+        event before the round-3 fusion, and the round-3 two-program
+        split still paid one extra RTT per verification attempt."""
         mcfg_mgr = self.manager.cfg
         if self._ovlp_grid is None:
             self._ovlp_grid = manager_mod.uniform_grid(
@@ -930,50 +1017,6 @@ class MIPSFusionTPU:
         K_mat = jnp.asarray([[self.dataset.fx, 0.0, self.dataset.cx],
                              [0.0, self.dataset.fy, self.dataset.cy],
                              [0.0, 0.0, 1.0]])
-        ver = jax.device_get(_overlap_verify(
-            st, depth, rays_d, jnp.asarray(pose_world), mo_id, active_id,
-            rows, cols, K_mat, self._kf_frames_dev,
-            k=self.near_kf_num, edge=edge, H=self.H, W=self.W))
-
-        need = mcfg_mgr.min_ovlp_pts
-        n_valid = int(ver["n_valid"])
-        if self.debug_loop:
-            print(f"  [overlap mo={mo_id}] related={int(ver['n_related'])} "
-                  f"visible={int(ver['n_visible'])} "
-                  f"in_bbox={int(ver['n_in_bbox'])} valid={n_valid} "
-                  f"(need {need})")
-        if int(ver["n_related"]) == 0 or n_valid < need:
-            return False, None
-
-        # ICP rectification
-        top_valid = ver["top_valid"]
-        ok, n_corr, pose_final = self._switch_pose_rectifying(
-            st, mo_id, active_id, ver["top_kf_ids"], ver["counts"],
-            top_valid, depth, rays_d)
-        if self.debug_loop:
-            print(f"  [overlap mo={mo_id}] icp ok={ok} inliers={n_corr}")
-        if not ok:
-            return False, None
-        self.rectified_local_pose = pose_final
-        data = {"top_kf_ids": ver["top_kf_ids"][top_valid],
-                "top_kf_mask": ver["vis"][top_valid],
-                "pts_mask": ver["mask_final"]}
-        return True, data
-
-    def _switch_pose_rectifying(self, st: slam_state.SlamState,
-                                mo_id: int, active_id: int,
-                                top_kf_ids, counts, top_valid,
-                                depth: jnp.ndarray, rays_d: jnp.ndarray
-                                ) -> Tuple[bool, int, jnp.ndarray]:
-        """ICP-align the triggering keyframe to mo_id's keyframe cloud
-        (ref PoseCorrector.switch_pose_rectifying :99-163) — one fused
-        device program (_switch_icp) + one batched readback. The
-        keyframe selection (enough visible overlap points, ref :117-123)
-        happens HERE on the already-read-back counts; the selected ids
-        are cycle-padded across the k slots with phased per-slot ray
-        indices so the full icp_dst_n budget lands on the selected
-        keyframes at the reference's density."""
-        cur_frame = int(self._last_tracked_frame)
         R = self.cap.rays_per_kf
         k = self.near_kf_num
         n_per = max(1, self.icp_dst_n // k)
@@ -987,38 +1030,46 @@ class MIPSFusionTPU:
                                         self.icp_src_n).astype(np.int32)))
         rr_src, cc_src, sub_incl = self._icp_subs
 
-        # host-side keyframe selection + cycle-padding (counts/top_valid
-        # are np arrays from the verify readback)
-        top_kf_ids = np.asarray(top_kf_ids)
-        sel_mask = (np.asarray(counts) > 200) & np.asarray(top_valid)
-        if not sel_mask.any():
-            sel_mask = np.asarray(top_valid)
-        sel_ids = top_kf_ids[sel_mask]
-        n_used = max(1, len(sel_ids))
-        use_ids = sel_ids[np.arange(k) % n_used]
-        reps = (k + n_used - 1) // n_used
-        dense = np.linspace(0, R - 1, n_per * reps).astype(np.int32)
-        sub_dst = np.stack([dense[(i // n_used) * n_per:
-                                  (i // n_used) * n_per + n_per]
-                            for i in range(k)])          # [k, n_per]
-
-        n_in_dev, pose_final, pose_ini = _switch_icp(
-            st, jnp.asarray(use_ids, jnp.int32), depth, rays_d,
-            mo_id, active_id, cur_frame, self._kf_frames_dev,
-            rr_src, cc_src, jnp.asarray(sub_dst), sub_incl,
+        ver = jax.device_get(_overlap_verify_icp(
+            st, depth, rays_d, jnp.asarray(pose_world), mo_id, active_id,
+            rows, cols, K_mat, self._kf_frames_dev,
+            jnp.asarray(int(self._last_tracked_frame), jnp.int32),
+            rr_src, cc_src, sub_incl,
             self.sw_align_threshold, self.sw_min_trans,
-            n_per=n_per, n_incl=self.sw_including_last,
-            keyframe_every=self.keyframe_every)
-        n_in, pose_final, pose_ini = jax.device_get(
-            (n_in_dev, pose_final, pose_ini))
+            # the "enough visible overlap points" selection rule
+            # (ref PoseCorrector.py:117-123: > 200 of the 40x40 grid)
+            jnp.asarray(200, jnp.int32),
+            k=k, edge=edge, H=self.H, W=self.W, n_per=n_per,
+            n_incl=self.sw_including_last,
+            keyframe_every=self.keyframe_every, R=R))
 
-        # the reference demands min_correspondence matches out of its
-        # full-resolution cloud; scale to our subsampled source count
-        need = int(self.sw_min_corr * self.icp_src_n / R)
-        n_in = int(n_in)
-        if n_in < max(need, 32):
-            return False, n_in, jnp.asarray(pose_ini)
-        return True, n_in, jnp.asarray(pose_final)
+        self._last_verify = ver    # observability + tests
+        need = mcfg_mgr.min_ovlp_pts
+        n_valid = int(ver["n_valid"])
+        if self.debug_loop:
+            print(f"  [overlap mo={mo_id}] related={int(ver['n_related'])} "
+                  f"visible={int(ver['n_visible'])} "
+                  f"in_bbox={int(ver['n_in_bbox'])} valid={n_valid} "
+                  f"(need {need})")
+        if int(ver["n_related"]) == 0 or n_valid < need:
+            return False, None
+
+        # ICP acceptance: the reference demands min_correspondence
+        # matches out of its full-resolution cloud; scale to the
+        # subsampled source count (ref PoseCorrector.py:155-163)
+        n_in = int(ver["n_inliers"])
+        need_icp = int(self.sw_min_corr * self.icp_src_n / R)
+        ok = n_in >= max(need_icp, 32)
+        if self.debug_loop:
+            print(f"  [overlap mo={mo_id}] icp ok={ok} inliers={n_in}")
+        if not ok:
+            return False, None
+        self.rectified_local_pose = jnp.asarray(ver["pose_final"])
+        top_valid = ver["top_valid"]
+        data = {"top_kf_ids": ver["top_kf_ids"][top_valid],
+                "top_kf_mask": ver["vis"][top_valid],
+                "pts_mask": ver["mask_final"]}
+        return True, data
 
     # ------------------------------------------------------------------
     # background refinement (InactiveMap round-robin, ref InactiveMap.py
@@ -1142,23 +1193,28 @@ class MIPSFusionTPU:
         self.state = st
         self.submap_params[m] = params
 
-    def global_ba(self):
+    def global_ba(self, ids: Optional[Tuple[int, int]] = None):
         """Pose-graph optimization over submap anchors after a loop
         closure (ref InactiveMap.global_BA :478-497 ->
-        PoseCorrector.pose_graph_optimize :173-216)."""
+        PoseCorrector.pose_graph_optimize :173-216). ``ids`` =
+        (aft_id, prev_id) when the call is deferred past the switch
+        keyframe (the binding mirror has been cleared by then)."""
         st = self.state
         used = self._host_used
         if used < 2 or self.temp_local_pose is None:
             return
-        # switch ids from the host binding mirror (manager.last_binding
-        # still holds (switched-to, previous) here; process_frame clears
-        # it after the switch chain) — no device readback
-        lb = self.manager.last_binding if self.use_manager else None
-        if lb is not None:
-            aft_id, prev_id = int(lb[1][0]), int(lb[1][1])
+        if ids is not None:
+            aft_id, prev_id = ids
         else:
-            prev_id = int(np.asarray(st.prev_active_submap_id))
-            aft_id = int(np.asarray(st.active_submap_id))
+            # switch ids from the host binding mirror (manager.
+            # last_binding still holds (switched-to, previous) here;
+            # process_frame clears it after the switch chain)
+            lb = self.manager.last_binding if self.use_manager else None
+            if lb is not None:
+                aft_id, prev_id = int(lb[1][0]), int(lb[1][1])
+            else:
+                prev_id = int(np.asarray(st.prev_active_submap_id))
+                aft_id = int(np.asarray(st.active_submap_id))
 
         self.state = _global_pgo(
             st, self.temp_local_pose, self.rectified_local_pose,
@@ -1339,6 +1395,7 @@ class MIPSFusionTPU:
         return p
 
     def evaluate(self, up_to: int, tag: str = "final") -> Dict:
+        self._flush_pending_switch()   # ATE must see PGO'd anchors
         world = self.world_trajectory(up_to)
         gt = np.stack([self._gt_pose(i) for i in range(up_to + 1)])
         return pose_evaluation(gt, world, self.output_dir, tag)
@@ -1388,6 +1445,7 @@ class MIPSFusionTPU:
         if not self.output_dir:
             return None
         self._flush_pending_init()
+        self._flush_pending_switch()
         from .checkpoint import save_ckpt
         ckpt_dir = os.path.join(self.output_dir, f"ckpt_{tag}")
         save_ckpt(ckpt_dir, self.state, self.submap_params,
@@ -1408,6 +1466,7 @@ class MIPSFusionTPU:
         from ..mesher.mesher import save_mesh_ply
 
         self._flush_pending_init()
+        self._flush_pending_switch()
         st = self.state
         used = int(np.asarray(st.localMLP_info[:, 0]).sum())
         voxel = voxel_size or self.config.get("mesh", {}).get(
@@ -1528,6 +1587,8 @@ class MIPSFusionTPU:
         self.track(frame, i)
         if self._pending_init_iters > 0:
             self._drain_init_chunk()
+        if self._pending_switch is not None and i > self._pending_switch["i"]:
+            self._drain_switch_chain()
         if i % self.map_every == 0:
             self.do_local_ba(frame, i)
             self.inactive_refine_step(i)
@@ -1547,12 +1608,16 @@ class MIPSFusionTPU:
                 elif flag == 1:
                     self.active_submap_switch(frame, i, kf_id)
                     self.local_ba_switch(frame, kf_id, i)
-                    # the reference defers global BA to the background
-                    # process via the do_globalBA flag (ref
-                    # mipsfusion.py:706 -> InactiveMap.py:531-533); in
-                    # this sequenced architecture the deferral is
-                    # re-expressed as an inline call at the same event
-                    self.global_ba()
+                    lb = self.manager.last_binding
+                    ids = ((int(lb[1][0]), int(lb[1][1]))
+                           if lb is not None else None)
+                    if self.switch_chain_defer:
+                        # PGO drains on the next frame (the reference's
+                        # do_globalBA background deferral,
+                        # ref mipsfusion.py:706 / InactiveMap.py:531-533)
+                        self._pending_switch = {"i": i, "ids": ids}
+                    else:
+                        self.global_ba()
                 # refresh the host binding mirror from the manager's own
                 # host-side record (saves a device readback per keyframe)
                 if self.manager.last_binding is not None:

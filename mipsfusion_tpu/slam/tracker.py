@@ -100,13 +100,19 @@ def ro_optimize(field_params: Dict, fcfg: sr.FieldConfig,
                 pst: jnp.ndarray, depth_img: jnp.ndarray,
                 rays_dir_img: jnp.ndarray, initial_pose: jnp.ndarray,
                 row_idx: jnp.ndarray, col_idx: jnp.ndarray,
-                n_iters: int) -> jnp.ndarray:
+                n_iters: int, ray_sharding=None) -> jnp.ndarray:
     """Run the particle-swarm search; returns the refined pose [4, 4].
 
     Semantics mirror RandomOptimizer.optimize (ref :164-227): per iter,
     back-project a shifted uniform pixel grid, evaluate |SDF| under all
     candidate poses in one batched query, weighted-mean the advanced
     particles, and rescale the per-axis search size by the mean SDF.
+
+    ``ray_sharding``: optional NamedSharding over the mesh's data axis —
+    the [3, P*n] fitness batch (the per-frame hot loop 1, ref
+    RandomOptimizer.py:113-131) is sharded across devices with the
+    field params replicated; the per-particle |SDF| means reduce over
+    ICI (XLA inserts the collectives from the constraint).
     """
 
     def fitness(rot, trans, pts_cam, valid):
@@ -120,6 +126,12 @@ def ro_optimize(field_params: Dict, fcfg: sr.FieldConfig,
                            precision=jax.lax.Precision.HIGHEST)
                 + trans[:, i:i + 1] for i in range(3)]
         worldT = jnp.stack(rows, 0).reshape(3, -1)                # [3,P*n]
+        if ray_sharding is not None and \
+                worldT.shape[1] % ray_sharding.mesh.size == 0:
+            from jax.sharding import NamedSharding, PartitionSpec
+            worldT = jax.lax.with_sharding_constraint(
+                worldT, NamedSharding(ray_sharding.mesh,
+                                      PartitionSpec(None, "data")))
         sdf = sr.run_network_sdf_T(field_params, worldT, fcfg, consts)
         sdf = sdf.reshape(P, -1) * fcfg.trunc
         mean_sdf = jnp.mean(valid[None, :] * jnp.abs(sdf), axis=-1)  # [P]
@@ -234,7 +246,8 @@ def go_optimize(field_params: Dict, fcfg: sr.FieldConfig,
                 target_rgb: jnp.ndarray, target_d: jnp.ndarray,
                 initial_pose: jnp.ndarray, n_iters: int,
                 lw: sr.LossWeights,
-                prior_pose: jnp.ndarray = None
+                prior_pose: jnp.ndarray = None,
+                ray_sharding=None
                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Gradient refinement of a pose against fixed sampled rays.
 
@@ -258,6 +271,17 @@ def go_optimize(field_params: Dict, fcfg: sr.FieldConfig,
     # [N, 3] -> [3, N] flips happen once per frame, outside the loop
     rays_d_camT = rays_d_cam.T
     target_rgbT = target_rgb.T
+    if ray_sharding is not None and \
+            rays_d_camT.shape[1] % ray_sharding.mesh.size == 0:
+        # GO ray-DP (hot loop 2, ref mipsfusion.py:490-556): rays and
+        # targets sharded over the data axis, pose params replicated —
+        # the pose-gradient all-reduce rides ICI
+        from jax.sharding import NamedSharding, PartitionSpec
+        colsh = NamedSharding(ray_sharding.mesh,
+                              PartitionSpec(None, "data"))
+        rays_d_camT = jax.lax.with_sharding_constraint(rays_d_camT, colsh)
+        target_rgbT = jax.lax.with_sharding_constraint(target_rgbT, colsh)
+        target_d = jax.lax.with_sharding_constraint(target_d, ray_sharding)
 
     if gcfg.motion_prior_w > 0.0:
         prior = initial_pose if prior_pose is None else prior_pose
@@ -368,7 +392,7 @@ class TrackUpdate(NamedTuple):
 
 @partial(jax.jit, static_argnames=("fcfg", "rcfg", "gcfg", "n_iter_ro",
                                    "n_iter_go", "from_current",
-                                   "keyframe_every"))
+                                   "keyframe_every", "ray_sharding"))
 def track_frame_update(field_params: Dict, fcfg: sr.FieldConfig,
                        consts: sr.FieldConsts, rcfg: ROConfig,
                        gcfg: GOConfig, pst: jnp.ndarray, base_key: jax.Array,
@@ -378,7 +402,8 @@ def track_frame_update(field_params: Dict, fcfg: sr.FieldConfig,
                        active_first_kf, lw: sr.LossWeights, n_iter_ro: int,
                        n_iter_go: int, keyframe_every: int,
                        from_current: bool = False,
-                       loss_ewma: jnp.ndarray = None) -> TrackUpdate:
+                       loss_ewma: jnp.ndarray = None,
+                       ray_sharding=None) -> TrackUpdate:
     """Track frame ``frame_idx`` AND commit the pose-store bookkeeping
     (ref mipsfusion.py:470-576 including the :558-576 epilogue) in one
     jitted dispatch.
@@ -396,7 +421,8 @@ def track_frame_update(field_params: Dict, fcfg: sr.FieldConfig,
                       packed_frame[..., 3:6], packed_frame[..., 6],
                       packed_frame[..., :3], est_c2w, frame_idx,
                       use_const_speed, lw, n_iter_ro, n_iter_go,
-                      from_current=from_current, loss_ewma=loss_ewma)
+                      from_current=from_current, loss_ewma=loss_ewma,
+                      ray_sharding=ray_sharding)
 
     # pose-store epilogue (ref mipsfusion.py:558-576)
     kf_id = frame_idx // keyframe_every
@@ -419,7 +445,8 @@ def track_frame_update(field_params: Dict, fcfg: sr.FieldConfig,
 
 
 @partial(jax.jit, static_argnames=("fcfg", "rcfg", "gcfg", "n_iter_ro",
-                                   "n_iter_go", "from_current"))
+                                   "n_iter_go", "from_current",
+                                   "ray_sharding"))
 def track_frame(field_params: Dict, fcfg: sr.FieldConfig,
                 consts: sr.FieldConsts, rcfg: ROConfig, gcfg: GOConfig,
                 pst: jnp.ndarray, key: jax.Array,
@@ -428,7 +455,8 @@ def track_frame(field_params: Dict, fcfg: sr.FieldConfig,
                 frame_idx: jnp.ndarray, use_const_speed: jnp.ndarray,
                 lw: sr.LossWeights, n_iter_ro: int, n_iter_go: int,
                 from_current: bool = False,
-                loss_ewma: jnp.ndarray = None) -> TrackResult:
+                loss_ewma: jnp.ndarray = None,
+                ray_sharding=None) -> TrackResult:
     """Full per-frame tracking: motion model -> RO -> GO. One jitted call.
 
     Mirrors tracking_render (ref mipsfusion.py:470-563) with the
@@ -456,7 +484,8 @@ def track_frame(field_params: Dict, fcfg: sr.FieldConfig,
         row_idx, col_idx = ro_pixel_grid(H, W, rcfg)
         pose = ro_optimize(field_params, fcfg, consts, rcfg, pst,
                            depth_img, rays_dir_img, pose, row_idx,
-                           col_idx, n_iter_ro)
+                           col_idx, n_iter_ro,
+                           ray_sharding=ray_sharding)
 
     # pixel selection for GO (fixed across iterations, ref :504-522)
     rr, cc = sample_pixels_mix(k_px, H, W, rcfg.n_rows, rcfg.n_cols,
@@ -469,7 +498,8 @@ def track_frame(field_params: Dict, fcfg: sr.FieldConfig,
 
     pose, loss = go_optimize(field_params, fcfg, consts, gcfg, k_go,
                              rays_d_cam, target_rgb, target_d, pose,
-                             n_iter_go, lw, prior_pose=pred)
+                             n_iter_go, lw, prior_pose=pred,
+                             ray_sharding=ray_sharding)
 
     if loss_ewma is None:
         loss_ewma = jnp.asarray(-1.0, jnp.float32)

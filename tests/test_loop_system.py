@@ -116,35 +116,28 @@ def test_including_last_grows_icp_source(loop_run):
     active = int(st.active_submap_id)
     mo = 0 if active != 0 else 1
 
-    caught = {}
-    orig = slam._switch_pose_rectifying
-
-    def spy(st_, mo_, act_, ids_, counts_, valid_, depth_, rays_):
-        ok, n, pose = orig(st_, mo_, act_, ids_, counts_, valid_,
-                           depth_, rays_)
-        caught["n"] = n
-        caught["pose"] = pose
-        return ok, n, pose
-
-    slam._switch_pose_rectifying = spy
+    # the fused verify+ICP program runs ICP unconditionally and exposes
+    # its readback on slam._last_verify
     try:
         slam.sw_including_last = 0
+        slam._last_verify = None
         ok0, _ = slam._find_overlapping_region(mo, active, st, depth,
                                                dirs, pose_world)
-        n0 = caught.pop("n", None)
+        v0 = slam._last_verify
         slam.sw_including_last = 2
+        slam._last_verify = None
         ok2, _ = slam._find_overlapping_region(mo, active, st, depth,
                                                dirs, pose_world)
-        n2 = caught.pop("n", None)
+        v2 = slam._last_verify
     finally:
-        slam._switch_pose_rectifying = orig
         slam.sw_including_last = 0
 
-    if n0 is None or n2 is None:
-        pytest.skip("overlap pre-checks declined before ICP on this state")
+    if v0 is None or v2 is None or int(v0["n_related"]) == 0:
+        pytest.skip("no related keyframes for ICP on this state")
+    n0, n2 = int(v0["n_inliers"]), int(v2["n_inliers"])
     # the merged source has 3x the points aimed at the same target
     assert n2 >= n0
     if ok0 and ok2:
         assert n2 > n0, (n0, n2)
-        R = np.asarray(caught["pose"])[:3, :3]
+        R = np.asarray(v2["pose_final"])[:3, :3]
         np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-3)

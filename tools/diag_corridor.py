@@ -50,6 +50,9 @@ def main():
                     choices=["fast", "full", "fast_tracking",
                              "fast_mapping", "fast_z"])
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--frames", type=int, default=None,
+                    help="corridor length in frames (same path; more "
+                         "frames = slower per-frame motion)")
     ap.add_argument("--set", action="append", default=[],
                     help="dotted config override, e.g. "
                          "tracking.RO.initial_scaling_factor=0.04")
@@ -71,7 +74,8 @@ def main():
     from mipsfusion_tpu.datasets.synthetic import SyntheticDataset
     from mipsfusion_tpu.slam.system import MIPSFusionTPU
 
-    cfg = corridor_cfg(sharded=False)
+    cfg = corridor_cfg(sharded=False) if args.frames is None \
+        else corridor_cfg(n_frames=args.frames, sharded=False)
     cfg["mapping"]["first_iters"] = 150
     cfg["seed"] = args.seed
     if args.leg == "fast":

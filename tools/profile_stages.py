@@ -104,17 +104,18 @@ def main():
     t_track = timeit("track_frame (RO + GO)",
                      track_var(rcfg.n_iters, gcfg.n_iters))
 
-    # local BA at the mapping cadence
-    optim_cur = bool(slam.optim_cur or slam.mcfg.optim_cur)
-    step = slam._ba_steps.get(optim_cur)
-    if step is None:
-        step = slam._ba_steps.setdefault(optim_cur,
-                                         slam._make_ba_step(optim_cur))
+    # local BA at the mapping cadence (the shared fused step program)
+    from mipsfusion_tpu.slam.system import _get_ba_step
+    step = _get_ba_step(
+        slam.fcfg, slam.mcfg, slam.lw,
+        slam._round_rays(slam.mcfg.sample + slam.mcfg.pixels_cur),
+        slam._ray_sharding)
     cur_rays = packed.reshape(-1, 7)
 
     def ba_fn(r):
         st2, p2, o2 = step(st, params, slam.map_opt_state, cur_rays,
-                           n_warm - 1)
+                           n_warm - 1, slam.consts, slam._ba_key,
+                           slam._kf_frames_dev)
         return p2
 
     t_ba = timeit(f"local BA ({slam.mcfg.iters} iters x "

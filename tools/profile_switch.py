@@ -42,7 +42,7 @@ def drive(timed):
                      "add_keyframe", "_drain_init_chunk",
                      "_flush_pending_init", "active_submap_switch",
                      "local_ba_switch", "global_ba",
-                     "_find_overlapping_region", "_switch_pose_rectifying"]:
+                     "_find_overlapping_region", "_drain_switch_chain"]:
             setattr(slam, name, wrap(name, getattr(slam, name)))
         mgr = slam.manager
         mgr.process_keyframe = wrap("manager", mgr.process_keyframe)
