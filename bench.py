@@ -27,9 +27,8 @@ import json
 import os
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                   ".jax_cache"))
+from mipsfusion_tpu.compile_cache import enable_compile_cache
+enable_compile_cache()
 
 import jax  # noqa: E402
 import numpy as np  # noqa: E402
@@ -62,11 +61,20 @@ def run_profile(cfg_path: str):
     for i in range(n_frames):
         ds.packed(i)
 
-    slam = MIPSFusionTPU(cfg, dataset=ds)
-
     def frame(i):
         return {"frame_id": i, "c2w": ds.gt_pose(i)}
 
+    # warm pass: a FULL drive of the sequence on a throwaway instance
+    # charges every program variant (incl. manager decisions that first
+    # occur deep into the sequence — a 16-frame warm-up left
+    # first-occurrence compile/cache-load hiccups inside the timed
+    # windows); the timed instance then reuses the in-process programs
+    warm = MIPSFusionTPU(cfg, dataset=ds)
+    for i in range(n_frames):
+        warm.process_frame(frame(i), i)
+    jax.block_until_ready(warm.state.est_c2w)
+
+    slam = MIPSFusionTPU(cfg, dataset=ds)
     slam.first_frame_mapping(frame(0), slam.mcfg.first_iters)
     for i in range(1, N_WARM + 1):
         slam.process_frame(frame(i), i)

@@ -265,6 +265,14 @@ class Manager:
         # hook installed by the system for overlap verification (phase:
         # loop closure); returns (ok, data) given candidate submaps
         self.find_overlap_fn = None
+        # optional fused predicates+verify+ICP program installed by the
+        # system: ONE dispatch + ONE readback per keyframe, with the
+        # loop-closure verification computed SPECULATIVELY for the
+        # most-overlapping candidate (device cost ~0.5 ms; each dropped
+        # readback saves a remote-tunnel RTT on switch keyframes)
+        self.predicates_fn = None
+        self._last_pred: Optional[Dict] = None
+        self._last_pred_state = None
 
     # -- helpers ----------------------------------------------------------
 
@@ -372,24 +380,34 @@ class Manager:
                                     frame_id, kf_id, force)
 
     def _predicates(self, st: SlamState, depth, rays_d, pose_local,
-                    wait_id: int):
+                    wait_id: int, frame_id: int = 0):
         """One fused device call + one BATCHED host readback (each
         separate np.asarray costs a full tunnel round-trip; device_get
         fetches the whole dict at once). The submap tables and the
         active id ride along so neither the msg1/2/3 mutators nor the
-        case analysis ever read back again."""
-        pred = _predicates_fused(
-            st, pose_local, depth, rays_d,
-            jnp.asarray(max(wait_id, 0)),
-            jnp.asarray(self.cfg.min_cr_localMLP_len, jnp.float32),
-            self.cfg.near, self.cfg.far, self.cr_rows, self.cr_cols)
-        return jax.device_get(pred)
+        case analysis ever read back again. With the system-installed
+        ``predicates_fn``, the speculative loop-closure verification
+        rides along too (consumed by find_overlap_fn via _last_pred)."""
+        if self.predicates_fn is not None:
+            pred = jax.device_get(self.predicates_fn(
+                st, depth, rays_d, pose_local, wait_id, frame_id))
+        else:
+            pred = jax.device_get(_predicates_fused(
+                st, pose_local, depth, rays_d,
+                jnp.asarray(max(wait_id, 0)),
+                jnp.asarray(self.cfg.min_cr_localMLP_len, jnp.float32),
+                self.cfg.near, self.cfg.far, self.cr_rows, self.cr_cols))
+        self._last_pred = pred
+        self._last_pred_state = st   # identity tag: results are only
+        # valid for the exact (immutable) state snapshot they saw
+        return pred
 
     def _process_normal(self, st: SlamState, depth, rays_d, pose_local,
                         frame_id: int, kf_id: int, force: bool,
                         pred=None):
         if pred is None:
-            pred = self._predicates(st, depth, rays_d, pose_local, -1)
+            pred = self._predicates(st, depth, rays_d, pose_local, -1,
+                                    frame_id)
         active_id = int(pred["active_id"])
         pose_world = jnp.asarray(pred["pose_world"])
         fr_center, fr_len = pred["fr_center"], pred["fr_len"]
@@ -482,7 +500,7 @@ class Manager:
         the wait-loop frames cost the same ONE dispatch + ONE readback
         as normal keyframes instead of an eager pose/cr chain."""
         pred = self._predicates(st, depth, rays_d, pose_local,
-                                self.localMLP_Id_wait)
+                                self.localMLP_Id_wait, frame_id)
         active_id = int(pred["active_id"])
         pose_world = jnp.asarray(pred["pose_world"])
         cr_wt = float(pred["cr_wait"])

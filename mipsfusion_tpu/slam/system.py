@@ -252,6 +252,38 @@ def _overlap_verify_icp(st: slam_state.SlamState, depth, rays_d,
     return ver
 
 
+@partial(jax.jit, static_argnames=("k", "edge", "H", "W", "n_per",
+                                   "n_incl", "keyframe_every", "R",
+                                   "n_iters"))
+def _predicates_verify_fused(st, pose_local, depth, rays_d, wait_id_c,
+                             wait_id_raw, min_cr_len, near, far,
+                             cr_rows, cr_cols, ov_rows, ov_cols, K_mat,
+                             kf_frames, cur_frame, rr_src, cc_src,
+                             sub_incl, threshold, min_trans, min_count,
+                             k: int, edge: int, H: int, W: int,
+                             n_per: int, n_incl: int,
+                             keyframe_every: int, R: int,
+                             n_iters: int = 15):
+    """Manager keyframe predicates + speculative overlap-verify + ICP
+    as ONE program (see Manager.predicates_fn). The speculative target
+    is the wait-loop submap when one is pending, else the
+    most-overlapping candidate from the predicates themselves."""
+    pred = manager_mod._predicates_fused(
+        st, pose_local, depth, rays_d, wait_id_c, min_cr_len, near, far,
+        cr_rows, cr_cols)
+    spec = jnp.where(wait_id_raw >= 0, wait_id_raw,
+                     pred["mo_id"].astype(jnp.int32))
+    ver = _overlap_verify_icp(
+        st, depth, rays_d, pred["pose_world"], spec, pred["active_id"],
+        ov_rows, ov_cols, K_mat, kf_frames, cur_frame, rr_src, cc_src,
+        sub_incl, threshold, min_trans, min_count,
+        k=k, edge=edge, H=H, W=W, n_per=n_per, n_incl=n_incl,
+        keyframe_every=keyframe_every, R=R, n_iters=n_iters)
+    pred.update({f"spec_{kk}": v for kk, v in ver.items()})
+    pred["spec_target"] = spec
+    return pred
+
+
 @partial(jax.jit,
          static_argnames=("n_per", "n_incl", "keyframe_every", "n_iters"))
 def _switch_icp(st: slam_state.SlamState, use_ids, depth, rays_d,
@@ -550,6 +582,7 @@ class MIPSFusionTPU:
             manager_mod.ManagerConfig.from_dict(config), H, W,
             self.keyframe_every)
         self.manager.find_overlap_fn = self._find_overlapping_region
+        self.manager.predicates_fn = self._manager_predicates_with_verify
         t = config["tracking"]
         self.switch_interval = t.get("switch_interval", 30)
         sw = t.get("switch", {})
@@ -622,6 +655,13 @@ class MIPSFusionTPU:
         # the next frame boundary). mesh.mesh_freq > 0 additionally
         # requests a mesh every mesh_freq frames.
         self._mesh_request: Optional[int] = None
+
+        # per-frame device sync in run() (off for production: the
+        # zero-sync pipeline is the perf model). Needed on single-core
+        # hosts running virtual multi-device meshes, where a collective
+        # left in flight during a long jit compile can starve the CPU
+        # rendezvous past its 40 s hard timeout (SIGABRT).
+        self._sync_per_frame = bool(config.get("sync_per_frame", False))
 
         # loop-closure transient state
         self.debug_loop = bool(config.get("debug_loop", False))
@@ -995,6 +1035,62 @@ class MIPSFusionTPU:
                           st.kf_c2w[jnp.asarray(kf_ids)], world)
         return world
 
+    def _verify_statics(self):
+        """Shared static inputs of the fused verify+ICP program."""
+        mcfg_mgr = self.manager.cfg
+        if self._ovlp_grid is None:
+            self._ovlp_grid = manager_mod.uniform_grid(
+                self.H, self.W, mcfg_mgr.ovlp_rays_h, mcfg_mgr.ovlp_rays_w)
+        R = self.cap.rays_per_kf
+        if self._icp_subs is None:
+            src_sub = np.linspace(0, len(self.kf_rows) - 1,
+                                  self.icp_src_n).astype(np.int32)
+            self._icp_subs = (
+                jnp.asarray(np.asarray(self.kf_rows)[src_sub]),
+                jnp.asarray(np.asarray(self.kf_cols)[src_sub]),
+                jnp.asarray(np.linspace(0, R - 1,
+                                        self.icp_src_n).astype(np.int32)))
+        K_mat = jnp.asarray([[self.dataset.fx, 0.0, self.dataset.cx],
+                             [0.0, self.dataset.fy, self.dataset.cy],
+                             [0.0, 0.0, 1.0]])
+        # reference uses a fixed 20px margin on 1200x680 images
+        # (ref Manager.py:323); keep it proportional (~3%) so small test
+        # images are not dominated by the margin
+        edge = max(2, int(round(0.03 * min(self.H, self.W))))
+        return K_mat, edge, R
+
+    def _manager_predicates_with_verify(self, st, depth, rays_d,
+                                        pose_local, wait_id: int,
+                                        frame_id: int):
+        """Manager predicates + SPECULATIVE loop-closure verify+ICP in
+        ONE device program (installed as manager.predicates_fn): the
+        verification target is the wait-loop submap when waiting, else
+        the most-overlapping candidate computed inside the program. The
+        host decision paths that need verification consume the result
+        from the same readback (_find_overlapping_region), saving one
+        tunnel RTT per attempt — the dominant switch-keyframe cost."""
+        K_mat, edge, R = self._verify_statics()
+        rows, cols = self._ovlp_grid
+        rr_src, cc_src, sub_incl = self._icp_subs
+        k = self.near_kf_num
+        n_per = max(1, self.icp_dst_n // k)
+        mcfg_mgr = self.manager.cfg
+        return _predicates_verify_fused(
+            st, pose_local, depth, rays_d,
+            jnp.asarray(max(wait_id, 0)),
+            jnp.asarray(wait_id, jnp.int32),
+            jnp.asarray(mcfg_mgr.min_cr_localMLP_len, jnp.float32),
+            mcfg_mgr.near, mcfg_mgr.far,
+            self.manager.cr_rows, self.manager.cr_cols,
+            rows, cols, K_mat, self._kf_frames_dev,
+            jnp.asarray(int(frame_id), jnp.int32),
+            rr_src, cc_src, sub_incl,
+            self.sw_align_threshold, self.sw_min_trans,
+            jnp.asarray(200, jnp.int32),
+            k=k, edge=edge, H=self.H, W=self.W, n_per=n_per,
+            n_incl=self.sw_including_last,
+            keyframe_every=self.keyframe_every, R=R)
+
     def _find_overlapping_region(self, mo_id: int, active_id: int,
                                  st: slam_state.SlamState,
                                  depth: jnp.ndarray, rays_d: jnp.ndarray,
@@ -1006,42 +1102,37 @@ class MIPSFusionTPU:
         event before the round-3 fusion, and the round-3 two-program
         split still paid one extra RTT per verification attempt."""
         mcfg_mgr = self.manager.cfg
-        if self._ovlp_grid is None:
-            self._ovlp_grid = manager_mod.uniform_grid(
-                self.H, self.W, mcfg_mgr.ovlp_rays_h, mcfg_mgr.ovlp_rays_w)
-        rows, cols = self._ovlp_grid
-        # reference uses a fixed 20px margin on 1200x680 images
-        # (ref Manager.py:323); keep it proportional (~3%) so small test
-        # images are not dominated by the margin
-        edge = max(2, int(round(0.03 * min(self.H, self.W))))
-        K_mat = jnp.asarray([[self.dataset.fx, 0.0, self.dataset.cx],
-                             [0.0, self.dataset.fy, self.dataset.cy],
-                             [0.0, 0.0, 1.0]])
         R = self.cap.rays_per_kf
-        k = self.near_kf_num
-        n_per = max(1, self.icp_dst_n // k)
-        if self._icp_subs is None:
-            src_sub = np.linspace(0, len(self.kf_rows) - 1,
-                                  self.icp_src_n).astype(np.int32)
-            self._icp_subs = (
-                jnp.asarray(np.asarray(self.kf_rows)[src_sub]),
-                jnp.asarray(np.asarray(self.kf_cols)[src_sub]),
-                jnp.asarray(np.linspace(0, R - 1,
-                                        self.icp_src_n).astype(np.int32)))
-        rr_src, cc_src, sub_incl = self._icp_subs
-
-        ver = jax.device_get(_overlap_verify_icp(
-            st, depth, rays_d, jnp.asarray(pose_world), mo_id, active_id,
-            rows, cols, K_mat, self._kf_frames_dev,
-            jnp.asarray(int(self._last_tracked_frame), jnp.int32),
-            rr_src, cc_src, sub_incl,
-            self.sw_align_threshold, self.sw_min_trans,
-            # the "enough visible overlap points" selection rule
-            # (ref PoseCorrector.py:117-123: > 200 of the 40x40 grid)
-            jnp.asarray(200, jnp.int32),
-            k=k, edge=edge, H=self.H, W=self.W, n_per=n_per,
-            n_incl=self.sw_including_last,
-            keyframe_every=self.keyframe_every, R=R))
+        # speculative result from the manager's fused predicate program:
+        # when the verification target matches, the answer is already on
+        # host — no new dispatch, no readback. One-shot: consumed (or
+        # discarded) here so a later call never reads a stale snapshot.
+        lp = self.manager._last_pred
+        lp_state = getattr(self.manager, "_last_pred_state", None)
+        self.manager._last_pred = None
+        self.manager._last_pred_state = None
+        if lp is not None and lp_state is st and "spec_target" in lp \
+                and int(lp["spec_target"]) == int(mo_id):
+            ver = {kk[5:]: v for kk, v in lp.items()
+                   if kk.startswith("spec_") and kk != "spec_target"}
+        else:
+            K_mat, edge, R = self._verify_statics()
+            rows, cols = self._ovlp_grid
+            rr_src, cc_src, sub_incl = self._icp_subs
+            k = self.near_kf_num
+            n_per = max(1, self.icp_dst_n // k)
+            ver = jax.device_get(_overlap_verify_icp(
+                st, depth, rays_d, jnp.asarray(pose_world), mo_id,
+                active_id, rows, cols, K_mat, self._kf_frames_dev,
+                jnp.asarray(int(self._last_tracked_frame), jnp.int32),
+                rr_src, cc_src, sub_incl,
+                self.sw_align_threshold, self.sw_min_trans,
+                # the "enough visible overlap points" selection rule
+                # (ref PoseCorrector.py:117-123: > 200 of the 40x40 grid)
+                jnp.asarray(200, jnp.int32),
+                k=k, edge=edge, H=self.H, W=self.W, n_per=n_per,
+                n_incl=self.sw_including_last,
+                keyframe_every=self.keyframe_every, R=R))
 
         self._last_verify = ver    # observability + tests
         need = mcfg_mgr.min_ovlp_pts
@@ -1497,11 +1588,18 @@ class MIPSFusionTPU:
         grid_bounds = None
         n_kf = int(self._host_n_kf or np.asarray(st.n_kf))
         if n_kf and self.config.get("mesh", {}).get("use_occupancy", True):
-            from ..mesher.mesher import kf_surface_points, surface_occupancy
+            from ..mesher.mesher import surface_occupancy
             kf_world = np.asarray(
                 self._kf_world_poses(st, np.arange(n_kf)))
             kf_rays_np = np.asarray(st.kf_rays[:n_kf])
-            surf_pts = kf_surface_points(kf_world, kf_rays_np)
+            # back-project once; per-keyframe row ranges let the
+            # per-submap occupancies reuse the same point array
+            dirs_w = np.einsum("kij,krj->kri", kf_world[:, :3, :3],
+                               kf_rays_np[..., :3])
+            pts_k = (kf_world[:, None, :3, 3]
+                     + dirs_w * kf_rays_np[..., 6:7])       # [K, R, 3]
+            valid_k = kf_rays_np[..., 6] > 0
+            surf_pts = pts_k[valid_k]
             mcfg_mesh = self.config.get("mesh", {})
             cvox = mcfg_mesh.get("occupancy_voxel", 0.2)
             dil = mcfg_mesh.get("occupancy_dilate", 1)
@@ -1517,11 +1615,9 @@ class MIPSFusionTPU:
             for m in range(used):
                 sel = (bind[:, 0] == m) | (bind[:, 1] == m)
                 if sel.any():
-                    pts_m = kf_surface_points(kf_world[sel],
-                                              kf_rays_np[sel])
                     submap_fns.append(surface_occupancy(
-                        pts_m, bound[:, 0], bound[:, 1], cvox=cvox,
-                        dilate=dil))
+                        pts_k[sel][valid_k[sel]], bound[:, 0],
+                        bound[:, 1], cvox=cvox, dilate=dil))
                 else:      # binding mirror empty: fall back to global
                     submap_fns.append(observed_fn)
 
@@ -1577,25 +1673,46 @@ class MIPSFusionTPU:
     # main loop (ref mipsfusion.py:661-735)
     # ------------------------------------------------------------------
 
+    def _stage_sync(self):
+        """Inter-stage barrier, active only with ``sync_per_frame``.
+
+        On a virtual multi-device CPU mesh hosted by a machine with few
+        cores (tests, dryruns), a collective left in flight while the
+        host thread jit-COMPILES the next stage's program can starve
+        the CPU collective rendezvous past its hard 40 s abort
+        (SIGABRT in xla::cpu::InProcessCommunicator). Draining after
+        every stage keeps collectives and compiles disjoint. Every
+        stage's outputs hang off the state pytree or the submap params,
+        so blocking on those drains the stage's whole program."""
+        if self._sync_per_frame:
+            jax.block_until_ready((self.state, self.submap_params))
+
     def process_frame(self, frame: Dict, i: int):
         """Full per-frame pipeline: track, map, keyframe decisions."""
         self._last_tracked_frame = i
         if i == 0:
             self.first_frame_mapping(frame, self.mcfg.first_iters)
+            self._stage_sync()
             return
 
         self.track(frame, i)
+        self._stage_sync()
         if self._pending_init_iters > 0:
             self._drain_init_chunk()
+            self._stage_sync()
         if self._pending_switch is not None and i > self._pending_switch["i"]:
             self._drain_switch_chain()
+            self._stage_sync()
         if i % self.map_every == 0:
             self.do_local_ba(frame, i)
+            self._stage_sync()
             self.inactive_refine_step(i)
+            self._stage_sync()
 
         if i % self.keyframe_every == 0:
             kf_id = i // self.keyframe_every
             self.add_keyframe(frame, i)
+            self._stage_sync()
             if self.use_manager:
                 _, depth, direction = self._frame_arrays(frame)
                 force = (i - self.last_switch_frame) <= self.switch_interval
@@ -1603,11 +1720,15 @@ class MIPSFusionTPU:
                     self.state, depth, direction, self.state.est_c2w[i],
                     i, kf_id, force=force)
                 self.state = st
+                self._stage_sync()
                 if flag == 3:
                     self.active_submap_switch_new(frame, i, kf_id)
+                    self._stage_sync()
                 elif flag == 1:
                     self.active_submap_switch(frame, i, kf_id)
+                    self._stage_sync()
                     self.local_ba_switch(frame, kf_id, i)
+                    self._stage_sync()
                     lb = self.manager.last_binding
                     ids = ((int(lb[1][0]), int(lb[1][1]))
                            if lb is not None else None)
@@ -1618,6 +1739,7 @@ class MIPSFusionTPU:
                         self._pending_switch = {"i": i, "ids": ids}
                     else:
                         self.global_ba()
+                        self._stage_sync()
                 # refresh the host binding mirror from the manager's own
                 # host-side record (saves a device readback per keyframe)
                 if self.manager.last_binding is not None:
@@ -1659,6 +1781,8 @@ class MIPSFusionTPU:
         for i in range(start, n):
             frame = q.get()
             self.process_frame(frame, i)
+            if self._sync_per_frame:
+                jax.block_until_ready(self.state.est_c2w)
             # first-frame GT-vs-render grid (ref mipsfusion.py:677)
             if i == 0 and self.output_dir and vis_every:
                 self.render_debug_images(i)

@@ -26,6 +26,9 @@ def sharded_loop_e2e():
     from fixture_cache import cached_run
     cfg = loop_config()
     cfg["parallel"] = {"sharded_refine": True, "dp_hot_path": True}
+    # single-core host + virtual 8-device mesh: keep collectives and
+    # jit compiles disjoint (CPU rendezvous 40 s hard timeout)
+    cfg["sync_per_frame"] = True
 
     def make_slam():
         ds = SyntheticDataset(cfg, n_frames=cfg["synthetic"]["n_frames"],

@@ -10,10 +10,6 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-os.environ.setdefault(
-    "JAX_COMPILATION_CACHE_DIR",
-    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                 ".jax_cache"))
 
 N = 60
 
@@ -67,7 +63,8 @@ def run_variant(name, overrides):
     print(f"{name:<22s} terr@59 {terr[-1]:7.1f} mm   "
           f"mean[40:60] {terr[40:].mean():7.1f} mm   "
           f"max {terr.max():7.1f}   wall {wall:6.1f} s", flush=True)
-
+from mipsfusion_tpu.compile_cache import enable_compile_cache  # noqa: E402
+enable_compile_cache()
 
 def main():
     for name, ov in VARIANTS.items():

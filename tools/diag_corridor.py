@@ -16,11 +16,6 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"))
-os.environ.setdefault(
-    "JAX_COMPILATION_CACHE_DIR",
-    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                 ".jax_cache_cpu" if os.environ.get("JAX_PLATFORMS") == "cpu"
-                 else ".jax_cache"))
 
 
 FAST_TRACKING = {
@@ -42,7 +37,8 @@ def _apply(cfg, overrides):
         for k in path[:-1]:
             node = node[k]
         node[path[-1]] = v
-
+from mipsfusion_tpu.compile_cache import enable_compile_cache  # noqa: E402
+enable_compile_cache()
 
 def main():
     ap = argparse.ArgumentParser()
@@ -64,10 +60,7 @@ def main():
 
     if os.environ.get("JAX_PLATFORMS") == "cpu":
         jax.config.update("jax_platforms", "cpu")
-        jax.config.update(
-            "jax_compilation_cache_dir",
-            os.environ["JAX_COMPILATION_CACHE_DIR"])
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        enable_compile_cache()   # re-resolve to the cpu cache dir
 
     from test_sharded_refine import corridor_cfg
 

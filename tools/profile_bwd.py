@@ -13,11 +13,8 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-os.environ.setdefault(
-    "JAX_COMPILATION_CACHE_DIR",
-    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                 ".jax_cache"))
-
+from mipsfusion_tpu.compile_cache import enable_compile_cache  # noqa: E402
+enable_compile_cache()
 
 def main():
     ap = argparse.ArgumentParser()

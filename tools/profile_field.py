@@ -24,10 +24,6 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-os.environ.setdefault(
-    "JAX_COMPILATION_CACHE_DIR",
-    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                 ".jax_cache"))
 
 SWEEP = ["", "planes", "cp", "pe", "decoder"]
 
@@ -59,7 +55,8 @@ def measure(n_pts: int, reps: int, config: str) -> float:
     t0 = time.perf_counter()
     jax.block_until_ready(bare(pts))
     return (time.perf_counter() - t0) / reps * 1e3
-
+from mipsfusion_tpu.compile_cache import enable_compile_cache  # noqa: E402
+enable_compile_cache()
 
 def main():
     ap = argparse.ArgumentParser()

@@ -6,9 +6,9 @@ bench.py's switch_frame_ms metric.
 """
 import os, sys, time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      os.path.join(os.path.dirname(os.path.dirname(
-                          os.path.abspath(__file__))), ".jax_cache"))
+from mipsfusion_tpu.compile_cache import enable_compile_cache  # noqa: E402
+enable_compile_cache()
+
 import jax
 import numpy as np
 from mipsfusion_tpu.config import load_config
