@@ -82,9 +82,14 @@ def test_resume_rebuilds_host_mirrors_and_refines(tmp_path):
     for i in range(13):
         slam1.process_frame(ds[i], i)
 
-    # fabricate a second submap with an overlapping keyframe (kf 1 bound
-    # to (0, 1)), as a 2-submap run would leave it
+    # fabricate a second submap as a 2-submap run would leave it: kf 1 is
+    # its (overlapping) first keyframe, bound to (0, 1), and kf 2 is an
+    # ordinary keyframe FIRST-bound to submap 1 — without such a kf the
+    # ownership rule (skip keyframes first-bound to the active submap,
+    # the functional keyframe_mutex_mask) correctly leaves the inactive
+    # refine with no work
     st = slam1.state
+    assert int(st.n_kf) >= 3  # kfs at frames 0, 6, 12
     slam1.submap_params[1] = slam1.initial_params
     perturb = np.eye(4, dtype=np.float32)
     perturb[0, 3] = 0.05
@@ -92,9 +97,12 @@ def test_resume_rebuilds_host_mirrors_and_refines(tmp_path):
     slam1.state = st._replace(
         localMLP_info=st.localMLP_info.at[1, 0].set(1.0),
         localMLP_first_kf=st.localMLP_first_kf.at[1].set(1),
-        keyframe_ref=st.keyframe_ref.at[1].set(-2),
+        keyframe_ref=st.keyframe_ref.at[1].set(-2)
+                                    .at[2].set(1),
         keyframe_localMLP=st.keyframe_localMLP.at[1].set(
-            jnp.asarray([0, 1], jnp.int32)),
+            jnp.asarray([0, 1], jnp.int32))
+                                              .at[2].set(
+            jnp.asarray([1, -1], jnp.int32)),
         kf_c2w=st.kf_c2w.at[1].set(anchor1),
     )
     ckpt_dir = slam1.save_checkpoint("mid")
