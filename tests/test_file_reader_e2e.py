@@ -50,7 +50,7 @@ def _write_replica_tree(root: str, cfg) -> None:
         T = fr["c2w"].astype(np.float64).copy()
         T[:3, 1] *= -1
         T[:3, 2] *= -1
-        lines.append(" ".join(repr(v) for v in T.reshape(-1)))
+        lines.append(" ".join(repr(float(v)) for v in T.reshape(-1)))
     with open(os.path.join(root, "traj.txt"), "w") as f:
         f.write("\n".join(lines) + "\n")
 
