@@ -260,6 +260,7 @@ def _predicates_verify_fused(st, pose_local, depth, rays_d, wait_id_c,
                              cr_rows, cr_cols, ov_rows, ov_cols, K_mat,
                              kf_frames, cur_frame, rr_src, cc_src,
                              sub_incl, threshold, min_trans, min_count,
+                             db_armed, min_cr_back, min_cr_mo,
                              k: int, edge: int, H: int, W: int,
                              n_per: int, n_incl: int,
                              keyframe_every: int, R: int,
@@ -267,20 +268,46 @@ def _predicates_verify_fused(st, pose_local, depth, rays_d, wait_id_c,
     """Manager keyframe predicates + speculative overlap-verify + ICP
     as ONE program (see Manager.predicates_fn). The speculative target
     is the wait-loop submap when one is pending, else the
-    most-overlapping candidate from the predicates themselves."""
+    most-overlapping candidate from the predicates themselves.
+
+    The verify+ICP body is GATED by a lax.cond on the device-computed
+    switch predicate: it only executes on keyframes that could actually
+    trigger a loop verification (wait-loop pending, armed double
+    binding, or the case-5 switch-back test). The ungated version paid
+    its ~30 ms device cost on EVERY keyframe to save one readback RTT
+    on the ~3 switch keyframes of a sequence — a bad amortized trade
+    (measured tools/diag_manager.py: fused 68 ms vs predicates-only
+    38 ms against a 31 ms tunnel-RTT floor). A conservatively wrong
+    gate is safe: the host falls back to a separate verify dispatch
+    (_find_overlapping_region checks ``spec_ran``)."""
     pred = manager_mod._predicates_fused(
         st, pose_local, depth, rays_d, wait_id_c, min_cr_len, near, far,
         cr_rows, cr_cols)
     spec = jnp.where(wait_id_raw >= 0, wait_id_raw,
                      pred["mo_id"].astype(jnp.int32))
-    ver = _overlap_verify_icp(
-        st, depth, rays_d, pred["pose_world"], spec, pred["active_id"],
-        ov_rows, ov_cols, K_mat, kf_frames, cur_frame, rr_src, cc_src,
-        sub_incl, threshold, min_trans, min_count,
-        k=k, edge=edge, H=H, W=W, n_per=n_per, n_incl=n_incl,
-        keyframe_every=keyframe_every, R=R, n_iters=n_iters)
+    active = pred["active_id"]
+    used = jnp.sum(pred["localMLP_info"][:, 0] > 0)
+    not_active = (used > 1) & (spec != active)
+    need = (wait_id_raw >= 0) | (
+        not_active & ((pred["cr_mo"] >= min_cr_back)
+                      | (db_armed & (pred["cr_mo"] >= min_cr_mo))))
+
+    def _run(_):
+        return _overlap_verify_icp(
+            st, depth, rays_d, pred["pose_world"], spec, active,
+            ov_rows, ov_cols, K_mat, kf_frames, cur_frame, rr_src,
+            cc_src, sub_incl, threshold, min_trans, min_count,
+            k=k, edge=edge, H=H, W=W, n_per=n_per, n_incl=n_incl,
+            keyframe_every=keyframe_every, R=R, n_iters=n_iters)
+
+    shapes = jax.eval_shape(_run, 0)
+    ver = jax.lax.cond(
+        need, _run,
+        lambda _: jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype),
+                               shapes), 0)
     pred.update({f"spec_{kk}": v for kk, v in ver.items()})
     pred["spec_target"] = spec
+    pred["spec_ran"] = need
     return pred
 
 
@@ -1087,6 +1114,10 @@ class MIPSFusionTPU:
             rr_src, cc_src, sub_incl,
             self.sw_align_threshold, self.sw_min_trans,
             jnp.asarray(200, jnp.int32),
+            jnp.asarray(self.manager.double_binding_counter
+                        >= mcfg_mgr.thres_db_time),
+            jnp.asarray(mcfg_mgr.min_containing_ratio_back, jnp.float32),
+            jnp.asarray(mcfg_mgr.min_containing_ratio_mo, jnp.float32),
             k=k, edge=edge, H=self.H, W=self.W, n_per=n_per,
             n_incl=self.sw_including_last,
             keyframe_every=self.keyframe_every, R=R)
@@ -1112,7 +1143,8 @@ class MIPSFusionTPU:
         self.manager._last_pred = None
         self.manager._last_pred_state = None
         if lp is not None and lp_state is st and "spec_target" in lp \
-                and int(lp["spec_target"]) == int(mo_id):
+                and int(lp["spec_target"]) == int(mo_id) \
+                and bool(lp.get("spec_ran", True)):
             ver = {kk[5:]: v for kk, v in lp.items()
                    if kk.startswith("spec_") and kk != "spec_target"}
         else:
