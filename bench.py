@@ -182,7 +182,8 @@ def run_multisubmap(cfg_path: str):
         "multi_submap_ate_min_m": round(ate_stats["min"], 5),
         "multi_submap_ate_max_m": round(ate_stats["max"], 5),
         "n_submaps": n_submaps,
-        "n_switch_backs": max(backs_list),
+        "n_switch_backs": int(sorted(backs_list)[len(backs_list) // 2]),
+        "n_switch_backs_list": backs_list,
         "p50_frame_ms": round(float(np.percentile(per_ms, 50)), 2),
         "p99_frame_ms": round(float(np.percentile(per_ms, 99)), 2),
         "switch_frame_ms": round(switch_ms, 2),

@@ -993,11 +993,10 @@ class MIPSFusionTPU:
         self.inactive_started = True
         self._loss_ewma = jnp.asarray(-1.0, jnp.float32)  # new loss regime
 
-    def local_ba_switch(self, frame: Dict, kf_id: int, i: int,
-                        frame_rays: Optional[jnp.ndarray] = None):
+    def local_ba_switch(self, frame: Dict, kf_id: int, i: int):
         """Pose-only BA of the loop keyframe vs the switched-to submap
-        (ref :379-444). ``frame_rays`` carries the switch frame's packed
-        rays when the call is deferred past that frame."""
+        (ref :379-444). Runs synchronously on the switch frame, exactly
+        as the reference's ActiveMap does (ref :703)."""
         st = self.state
         data = self.manager.ovlp_data or {}
         top_kf_ids = data.get("top_kf_ids")
@@ -1005,8 +1004,7 @@ class MIPSFusionTPU:
             return
         kf_mask = np.zeros(self.cap.n_keyframes, bool)
         kf_mask[np.asarray(top_kf_ids)] = True
-        if frame_rays is None:
-            frame_rays = self._packed_frame.reshape(-1, 7)
+        frame_rays = self._packed_frame.reshape(-1, 7)
 
         self.state = _switch_ba_fused(
             st, self.submap_params[self.active_id], self._next_key(),
@@ -1084,7 +1082,13 @@ class MIPSFusionTPU:
         # (ref Manager.py:323); keep it proportional (~3%) so small test
         # images are not dominated by the margin
         edge = max(2, int(round(0.03 * min(self.H, self.W))))
-        return K_mat, edge, R
+        # keyframe-selection visibility threshold: the reference demands
+        # > 200 visible points of its 40x40=1600 overlap grid
+        # (ref PoseCorrector.py:117-123); scale to the configured grid
+        # like need_icp scales min_correspondence by icp_src_n/R
+        n_grid = mcfg_mgr.ovlp_rays_h * mcfg_mgr.ovlp_rays_w
+        min_count = max(1, int(round(200 * n_grid / 1600)))
+        return K_mat, edge, R, min_count
 
     def _manager_predicates_with_verify(self, st, depth, rays_d,
                                         pose_local, wait_id: int,
@@ -1096,7 +1100,7 @@ class MIPSFusionTPU:
         host decision paths that need verification consume the result
         from the same readback (_find_overlapping_region), saving one
         tunnel RTT per attempt — the dominant switch-keyframe cost."""
-        K_mat, edge, R = self._verify_statics()
+        K_mat, edge, R, min_count = self._verify_statics()
         rows, cols = self._ovlp_grid
         rr_src, cc_src, sub_incl = self._icp_subs
         k = self.near_kf_num
@@ -1113,7 +1117,7 @@ class MIPSFusionTPU:
             jnp.asarray(int(frame_id), jnp.int32),
             rr_src, cc_src, sub_incl,
             self.sw_align_threshold, self.sw_min_trans,
-            jnp.asarray(200, jnp.int32),
+            jnp.asarray(min_count, jnp.int32),
             jnp.asarray(self.manager.double_binding_counter
                         >= mcfg_mgr.thres_db_time),
             jnp.asarray(mcfg_mgr.min_containing_ratio_back, jnp.float32),
@@ -1148,7 +1152,7 @@ class MIPSFusionTPU:
             ver = {kk[5:]: v for kk, v in lp.items()
                    if kk.startswith("spec_") and kk != "spec_target"}
         else:
-            K_mat, edge, R = self._verify_statics()
+            K_mat, edge, R, min_count = self._verify_statics()
             rows, cols = self._ovlp_grid
             rr_src, cc_src, sub_incl = self._icp_subs
             k = self.near_kf_num
@@ -1160,8 +1164,9 @@ class MIPSFusionTPU:
                 rr_src, cc_src, sub_incl,
                 self.sw_align_threshold, self.sw_min_trans,
                 # the "enough visible overlap points" selection rule
-                # (ref PoseCorrector.py:117-123: > 200 of the 40x40 grid)
-                jnp.asarray(200, jnp.int32),
+                # (ref PoseCorrector.py:117-123: > 200 of the 40x40
+                # grid), scaled to the configured grid in _verify_statics
+                jnp.asarray(min_count, jnp.int32),
                 k=k, edge=edge, H=self.H, W=self.W, n_per=n_per,
                 n_incl=self.sw_including_last,
                 keyframe_every=self.keyframe_every, R=R))
