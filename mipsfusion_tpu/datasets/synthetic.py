@@ -68,6 +68,48 @@ def scene_sdf(p: jnp.ndarray, room_half: jnp.ndarray) -> jnp.ndarray:
     return jnp.minimum(jnp.minimum(d, d4), jnp.minimum(d5, d6))
 
 
+def scene_sdf_tiled(p: jnp.ndarray, room_half: jnp.ndarray) -> jnp.ndarray:
+    """Large-scene SDF: room walls + a domain-repeated prop field.
+
+    The classic prop set (scene_sdf) clusters near the origin of a
+    ~3 m room; the scale-envelope scenes (reference regime: 10-20
+    submaps over long trajectories, /root/reference/configs/
+    FastCaMo-large/floor1.yaml:8) need geometry everywhere the camera
+    goes, so props repeat on a 2.4 m grid in x/z with per-cell jitter.
+    Each cell holds a floor box and a floating sphere; props stay well
+    inside their cell, so the repeated SDF stays exact for the sphere
+    tracer."""
+    d_room = -_sd_box(p, jnp.zeros(3), room_half)
+
+    cell = 2.4
+    ci = jnp.floor(p[..., 0] / cell)
+    cj = jnp.floor(p[..., 2] / cell)
+    # per-cell deterministic jitter in [-1, 1)
+    def h(k):
+        v = jnp.sin(ci * 12.9898 + cj * 78.233 + k * 37.719) * 43758.5453
+        return 2.0 * (v - jnp.floor(v)) - 1.0
+
+    # local coords within the cell, origin at the cell center
+    q = jnp.stack([p[..., 0] - (ci + 0.5) * cell, p[..., 1],
+                   p[..., 2] - (cj + 0.5) * cell], axis=-1)
+    jx, jz, jy = 0.45 * h(1.0), 0.45 * h(2.0), h(3.0)
+    yaw = 1.2 * h(4.0)
+    floor_y = -room_half[1]
+    box_half = jnp.asarray([0.38, 0.55, 0.32])
+    box_c = jnp.stack([jx, jnp.broadcast_to(floor_y + box_half[1],
+                                            jx.shape), jz], axis=-1)
+    c, s = jnp.cos(yaw), jnp.sin(yaw)
+    qb = q - box_c
+    qr = jnp.stack([c * qb[..., 0] - s * qb[..., 2], qb[..., 1],
+                    s * qb[..., 0] + c * qb[..., 2]], axis=-1)
+    d_box = _sd_box(qr, jnp.zeros(3), box_half)
+
+    sph_c = jnp.stack([-jx, 0.3 + 0.5 * jy, -jz], axis=-1)
+    d_sph = jnp.linalg.norm(q - sph_c, axis=-1) - 0.35
+
+    return jnp.minimum(d_room, jnp.minimum(d_box, d_sph))
+
+
 def scene_albedo(p: jnp.ndarray) -> jnp.ndarray:
     """Procedural color field in [0,1]^3: smooth base + two higher-
     frequency octaves (~0.8 m and ~0.25 m wavelength).
@@ -96,13 +138,16 @@ def scene_albedo(p: jnp.ndarray) -> jnp.ndarray:
     return 0.5 + 0.3 * base + 0.14 * mid + 0.06 * fine
 
 
-@partial(jax.jit, static_argnames=("n_steps",))
-def _raycast(rays_o, rays_d, room_half, far, n_steps: int = 96):
+@partial(jax.jit, static_argnames=("n_steps", "props"))
+def _raycast(rays_o, rays_d, room_half, far, n_steps: int = 96,
+             props: str = "classic"):
     """Sphere-trace [N,3] rays; returns (depth [N], hit mask [N])."""
+    sdf = scene_sdf_tiled if props == "tiled" else scene_sdf
+
     def body(i, carry):
         t, done = carry
         p = rays_o + rays_d * t[:, None]
-        d = scene_sdf(p, room_half)
+        d = sdf(p, room_half)
         hit = jnp.abs(d) < 1e-3
         done = done | hit
         t = jnp.where(done, t, t + jnp.clip(d, 1e-3, 0.5))
@@ -138,8 +183,23 @@ class SyntheticDataset:
         self.far = cam["far"]
         self.num_frames = n_frames
         self.frame_ids = list(range(n_frames))
-        self.room_half = jnp.asarray(
-            cfg.get("synthetic", {}).get("room_half", [3.0, 2.2, 2.5]))
+        syn = cfg.get("synthetic", {})
+        self.room_half = jnp.asarray(syn.get("room_half", [3.0, 2.2, 2.5]))
+        self.props = syn.get("props", "classic")
+        # Sensor-noise model (VERDICT r4 item 7). The reference consumes
+        # real RGB-D with quantized, noisy, hole-ridden depth
+        # (ref datasets/dataset.py:83-90 depth-scale path, :172-180);
+        # the analytic renders here are exact, so an optional noise
+        # stage restores that envelope:
+        #   depth_sigma: [a, b] -> sigma(d) = a + b * d^2 (Kinect-style
+        #                axial noise growing quadratically with range)
+        #   dropout:     iid probability a valid depth pixel becomes a
+        #                hole (depth 0), like IR shadowing/low albedo
+        #   quantize:    depth discretization step in meters (real
+        #                pipelines store mm uint16: png_depth_scale)
+        #   rgb_sigma:   additive Gaussian shot noise on the albedo
+        self.noise = syn.get("noise", None)
+        self._noise_key = jax.random.PRNGKey(syn.get("noise_seed", seed))
 
         self._rays_d_dev = get_camera_rays(self.H, self.W, self.fx,
                                            self.fy, self.cx, self.cy)
@@ -183,6 +243,33 @@ class SyntheticDataset:
             tri = 1.0 - abs(2.0 * t - 1.0)   # 0 -> 1 -> 0
             ang = 0.25 * np.sin(2 * np.pi * t)
             pos = np.array([2.4 * tri, 0.15 * np.sin(4 * np.pi * t), 0.0])
+        elif trajectory == "sweep":
+            # fast-motion stressor: aggressive AND jerky yaw — FAST
+            # CAmera MOtion is the reference's headline regime (its RO
+            # exists for it, ref RandomOptimizer.py). The slow term
+            # sets the sweep; the high-frequency term is what defeats
+            # the constant-velocity prediction (at 60 frames, span 1:
+            # ~3.2 deg/frame rate and ~2 deg/frame^2 acceleration from
+            # the fast term alone; ~6 deg/frame combined peak) — between
+            # the gentle corridor (~1-2.5 deg/frame) and the retired
+            # ~10 deg/frame basin-escape lottery (tools/diag_corridor).
+            ang = 0.45 * np.sin(2 * np.pi * t) + 0.09 * np.sin(12 * np.pi * t)
+            pos = np.array([0.6 * np.sin(2 * np.pi * t),
+                            0.15 * np.sin(4 * np.pi * t),
+                            0.4 * np.cos(2 * np.pi * t)])
+        elif trajectory == "snake":
+            # scale-envelope trajectory (reference regime: 10-20 submaps
+            # over 2000+ frame sequences, ref configs/FastCaMo-large/
+            # floor1.yaml:8): serpentine sweep across a LARGE room
+            # (props="tiled") and back along the same path. Constant
+            # heading, so the return leg revisits the outbound views —
+            # every submap spawned on the way out must be switched back
+            # into on the way home.
+            tri = 1.0 - abs(2.0 * t - 1.0)   # 0 -> 1 -> 0
+            ang = 0.2 * np.sin(2 * np.pi * t)
+            pos = np.array([-4.4 + 8.8 * tri,
+                            0.12 * np.sin(4 * np.pi * t),
+                            2.2 * np.sin(1.5 * np.pi * tri)])
         else:
             raise ValueError(trajectory)
 
@@ -202,7 +289,8 @@ class SyntheticDataset:
         rays_d_w = dirs @ c2w[:3, :3].T
         unit_d = rays_d_w / norms[:, None]
         rays_o_w = jnp.broadcast_to(c2w[:3, 3], rays_d_w.shape)
-        s, valid = _raycast(rays_o_w, unit_d, self.room_half, self.far * 2.0)
+        s, valid = _raycast(rays_o_w, unit_d, self.room_half,
+                            self.far * 2.0, props=self.props)
         pts = rays_o_w + unit_d * s[:, None]
         rgb = jnp.where(valid[:, None], scene_albedo(pts), 0.0)
         # z-depth convention: pts = o + dirs * depth with |dir_z| = 1, so
@@ -215,6 +303,37 @@ class SyntheticDataset:
             [self._rays_d_dev, rgb.reshape(H, W, 3),
              depth.reshape(H, W, 1)], axis=-1)
 
+    def _make_noise_fn(self):
+        """One jitted noise stage, parameters baked in as constants."""
+        nz = self.noise
+        a, b = nz.get("depth_sigma", (0.0, 0.0))
+        dropout = float(nz.get("dropout", 0.0))
+        quant = float(nz.get("quantize", 0.0))
+        rgb_sigma = float(nz.get("rgb_sigma", 0.0))
+
+        @jax.jit
+        def apply(packed, key):
+            rgb, depth = packed[..., 3:6], packed[..., 6]
+            k1, k2, k3 = jax.random.split(key, 3)
+            valid = depth > 0.0
+            if a > 0.0 or b > 0.0:
+                sigma = a + b * depth ** 2
+                depth = depth + sigma * jax.random.normal(k1, depth.shape)
+            if dropout > 0.0:
+                keep = jax.random.uniform(k2, depth.shape) >= dropout
+                valid = valid & keep
+            if quant > 0.0:
+                depth = jnp.round(depth / quant) * quant
+            depth = jnp.where(valid & (depth > 0.0), depth, 0.0)
+            if rgb_sigma > 0.0:
+                rgb = jnp.clip(
+                    rgb + rgb_sigma * jax.random.normal(k3, rgb.shape),
+                    0.0, 1.0)
+            return jnp.concatenate(
+                [packed[..., :3], rgb, depth[..., None]], axis=-1)
+
+        return apply
+
     def gt_pose(self, index: int) -> np.ndarray:
         return self.poses[index]
 
@@ -223,8 +342,13 @@ class SyntheticDataset:
         if index not in self._dev_cache:
             if not hasattr(self, "_render_jit"):
                 self._render_jit = jax.jit(self._render_packed)
-            self._dev_cache[index] = self._render_jit(
-                jnp.asarray(self.poses[index]))
+            frame = self._render_jit(jnp.asarray(self.poses[index]))
+            if self.noise:
+                if not hasattr(self, "_noise_jit"):
+                    self._noise_jit = self._make_noise_fn()
+                frame = self._noise_jit(
+                    frame, jax.random.fold_in(self._noise_key, index))
+            self._dev_cache[index] = frame
             self._dev_order.append(index)
             if (self._device_cache_max
                     and len(self._dev_order) > self._device_cache_max):
