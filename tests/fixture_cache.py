@@ -29,10 +29,26 @@ _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 CACHE_DIR = os.path.join(_ROOT, ".pytest_slam_cache")
 
 
+# Package modules that can NEVER affect a fixture's SLAM-run numerics
+# (no cached_run compute() touches meshing, mesh evaluation, or the
+# image/trajectory logger — those run per-test on the restored object).
+# Excluding them from the key means a mesher/logger edit does not
+# re-run every multi-minute SLAM fixture cold (VERDICT r4 item 5).
+_KEY_EXCLUDE = (
+    os.path.join("mipsfusion_tpu", "mesher") + os.sep,
+    os.path.join("mipsfusion_tpu", "eval", "recon.py"),
+    os.path.join("mipsfusion_tpu", "slam", "logger.py"),
+)
+
+
 def _source_hash(extra_files=()):
     h = hashlib.sha256()
     paths = sorted(glob.glob(os.path.join(_ROOT, "mipsfusion_tpu", "**",
                                           "*.py"), recursive=True))
+    paths = [p for p in paths
+             if not any(os.path.relpath(p, _ROOT).startswith(e) or
+                        os.path.relpath(p, _ROOT) == e
+                        for e in _KEY_EXCLUDE)]
     # this module defines the cache format: changing it invalidates
     paths.append(os.path.abspath(__file__))
     for p in list(paths) + list(extra_files):
