@@ -19,9 +19,21 @@ from mipsfusion_tpu.slam import tracker
 from test_slam_single import tiny_config
 
 
-def _setup():
+def triplane_cfg(n_frames=8):
+    """tiny_config on the FLAGSHIP Triplane+CP encoding (XLA fallback on
+    the CPU mesh — system.py only flips use_pallas on TPU backends).
+    Tiny plane/line resolutions keep the virtual-mesh compiles fast."""
+    cfg = tiny_config(n_frames)
+    cfg["grid"] = {"enc": "Triplane", "tri_resolutions": [16, 32],
+                   "tri_features": 4, "cp_resolution": 48,
+                   "cp_components": 8, "hash_size": 13,
+                   "tcnn_encoding": True, "use_bound_normalize": True}
+    return cfg
+
+
+def _setup(make_cfg=None):
     assert len(jax.devices()) >= 8, "conftest must provide 8 CPU devices"
-    cfg = tiny_config(8)
+    cfg = (make_cfg or tiny_config)(8)
     fcfg = sr.FieldConfig.from_dict(cfg)
     consts = sr.FieldConsts.from_bound(
         jnp.asarray(cfg["mapping"]["bound"], jnp.float32))
@@ -117,3 +129,83 @@ def test_dp_tracking_live_system_parity():
           f"single {results[False]*1000:.2f} mm")
     assert results[True] < 0.03 and results[False] < 0.03, results
     assert abs(results[True] - results[False]) < 0.01, results
+
+
+# ---------------------------------------------------------------------------
+# flagship Triplane+CP encoding through the multi-device proofs
+# (VERDICT r4 item 3: every sharded proof previously ran HashGrid only)
+# ---------------------------------------------------------------------------
+
+def test_dp_tracking_triplane_lowering_is_sharded():
+    """track_frame on the FLAGSHIP encoding must shard under the DP
+    constraint (all-reduce present) and not without it."""
+    cfg, fcfg, consts, lw, rcfg, gcfg, key, params, sh = _setup(triplane_cfg)
+    assert fcfg.enc == "Triplane"
+    rays_d, depth, rgb = _frame(cfg, key)
+    est = jnp.broadcast_to(jnp.eye(4), (8, 4, 4))
+
+    def lower(ray_sharding):
+        return tracker.track_frame.lower(
+            params, fcfg, consts, rcfg, gcfg,
+            tracker.make_pst(key, rcfg), key, rgb, depth, rays_d, est,
+            jnp.int32(1), jnp.asarray(True), lw, 2, 2,
+            ray_sharding=ray_sharding).compile().as_text()
+
+    assert "all-reduce" in lower(sh)
+    assert "all-reduce" not in lower(None)
+
+
+def test_dp_tracking_triplane_matches_single_device():
+    """Sharded tracking on Triplane returns the same pose as one device."""
+    cfg, fcfg, consts, lw, rcfg, gcfg, key, params, sh = _setup(triplane_cfg)
+    rays_d, depth, rgb = _frame(cfg, key)
+    est = jnp.broadcast_to(jnp.eye(4), (8, 4, 4))
+    est = est.at[0].set(jnp.eye(4).at[0, 3].set(0.01))
+    pst = tracker.make_pst(key, rcfg)
+
+    res_dp = tracker.track_frame(
+        params, fcfg, consts, rcfg, gcfg, pst, key, rgb, depth, rays_d,
+        est, jnp.int32(1), jnp.asarray(False), lw, 3, 3, ray_sharding=sh)
+    res_1 = tracker.track_frame(
+        params, fcfg, consts, rcfg, gcfg, pst, key, rgb, depth, rays_d,
+        est, jnp.int32(1), jnp.asarray(False), lw, 3, 3, ray_sharding=None)
+    np.testing.assert_allclose(np.asarray(res_dp.pose),
+                               np.asarray(res_1.pose), atol=1e-4)
+    np.testing.assert_allclose(float(res_dp.loss), float(res_1.loss),
+                               rtol=1e-3)
+
+
+def test_dp_ba_triplane_plane_grad_parity():
+    """One DP local-BA step on Triplane must produce the SAME updated
+    plane/CP-line params as the unsharded step (the gradient all-reduce
+    over the data axis must be numerically transparent)."""
+    from mipsfusion_tpu.slam import mapper
+
+    cfg, fcfg, consts, lw, rcfg, gcfg, key, params, sh = _setup(triplane_cfg)
+    mcfg = mapper.MapConfig.from_dict(cfg)
+    mcfg = mapper.MapConfig(**{**mcfg.__dict__, "iters": 2})
+    opt_state = mapper.make_map_optimizer(mcfg).init(params)
+
+    K, R = 8, 64
+    kf_key = jax.random.PRNGKey(7)
+    kf_rays = jax.random.uniform(kf_key, (K, R, 7))
+    # plausible depths/dirs so the z-sampler sees valid geometry
+    kf_rays = kf_rays.at[..., 6].set(1.5 + kf_rays[..., 6])
+    kf_rays = kf_rays.at[..., 2].set(-1.0)
+    kf_mask = jnp.arange(K) < 3
+    poses = jnp.broadcast_to(jnp.eye(4), (K, 4, 4))
+    cur_rays = kf_rays[0, :32]
+
+    def step(ray_sharding):
+        res = mapper.local_ba(
+            params, opt_state, key, kf_rays, kf_mask,
+            jnp.int32(0), jnp.int32(2), poses, cur_rays, jnp.eye(4),
+            fcfg, consts, mcfg, lw, 128, ray_sharding=ray_sharding)
+        return res.field_params
+
+    p_dp, p_1 = step(sh), step(None)
+    for name in ("s0", "s1", "cp"):
+        np.testing.assert_allclose(
+            np.asarray(p_dp["planes"][name]),
+            np.asarray(p_1["planes"][name]), atol=1e-5,
+            err_msg=f"plane param {name} diverged under DP")
