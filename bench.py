@@ -95,11 +95,87 @@ def run_profile(cfg_path: str):
     return _stats(fps_list), ate
 
 
+def stage_device_times(cfg_path: str, reps: int = 30, overrides=None):
+    """Per-stage device time, decoupled from tunnel weather (VERDICT r4
+    item 9): each jitted stage is dispatched `reps` times back-to-back
+    with ONE block at the end, so the remote tunnel's per-sync RTT
+    amortizes to ~0 and the quotient is the stage's device compute
+    (tools/profile_stages.py methodology). Reported alongside the
+    wall-clock FPS so chip-performance claims survive the 1.5-2x
+    session-to-session wall-clock spread."""
+    import jax.numpy as jnp
+
+    from mipsfusion_tpu.slam import tracker
+    from mipsfusion_tpu.slam.system import _get_ba_step
+
+    cfg = load_config(cfg_path)
+    cfg["data"]["output"] = None
+    if overrides:
+        from mipsfusion_tpu.config import apply_overrides
+        cfg = apply_overrides(cfg, overrides)
+    n_warm = 17
+    ds = SyntheticDataset(cfg, n_frames=n_warm + 1, trajectory="orbit",
+                          span=(n_warm + 1) / 400.0)
+    for i in range(n_warm + 1):
+        ds.packed(i)
+    slam = MIPSFusionTPU(cfg, dataset=ds)
+    slam.first_frame_mapping({"frame_id": 0, "c2w": ds.gt_pose(0)},
+                             slam.mcfg.first_iters)
+    for i in range(1, n_warm):
+        slam.process_frame({"frame_id": i, "c2w": ds.gt_pose(i)}, i)
+    jax.block_until_ready(slam.state.est_c2w)
+
+    st, packed = slam.state, ds.packed(n_warm)
+    params = slam.submap_params[slam.active_id]
+
+    def timeit(fn):
+        jax.block_until_ready(fn(0))
+        t0 = time.perf_counter()
+        out = None
+        for r in range(reps):
+            out = fn(r)
+        jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / reps * 1e3
+
+    def track_var(n_ro, n_go):
+        def fn(r):
+            return tracker.track_frame(
+                params, slam.fcfg, slam.consts, slam.rcfg, slam.gcfg,
+                slam.pst, jax.random.PRNGKey(r), packed[..., 3:6],
+                packed[..., 6], packed[..., :3], st.est_c2w,
+                jnp.asarray(n_warm - 1), jnp.asarray(True), slam.lw,
+                n_ro, n_go)
+        return fn
+
+    step = _get_ba_step(
+        slam.fcfg, slam.mcfg, slam.lw,
+        slam._round_rays(slam.mcfg.sample + slam.mcfg.pixels_cur),
+        slam._ray_sharding)
+    cur_rays = packed.reshape(-1, 7)
+
+    def ba_fn(r):
+        _, p2, _ = step(st, params, slam.map_opt_state, cur_rays,
+                        n_warm - 1, slam.consts, slam._ba_key,
+                        slam._kf_frames_dev)
+        return p2
+
+    t_ro = timeit(track_var(slam.rcfg.n_iters, 0))
+    t_go = timeit(track_var(0, slam.gcfg.n_iters))
+    t_track = timeit(track_var(slam.rcfg.n_iters, slam.gcfg.n_iters))
+    t_ba = timeit(ba_fn)
+    amort = t_track + t_ba / slam.map_every
+    return {"ro_ms": round(t_ro, 2), "go_ms": round(t_go, 2),
+            "track_ms": round(t_track, 2), "ba_ms": round(t_ba, 2),
+            "steady_frame_ms": round(amort, 2),
+            "device_fps": round(1e3 / amort, 2)}
+
+
 def _build_outback(cfg_path: str):
     cfg = load_config(cfg_path)
     cfg["data"]["output"] = None
     n = cfg["synthetic"]["n_frames"]
-    ds = SyntheticDataset(cfg, n_frames=n, trajectory="outback", span=1.0)
+    traj = cfg["synthetic"].get("trajectory", "outback")
+    ds = SyntheticDataset(cfg, n_frames=n, trajectory=traj, span=1.0)
     for i in range(n):
         ds.packed(i)
     return cfg, ds, n
@@ -196,6 +272,61 @@ def run_multisubmap(cfg_path: str):
     }
 
 
+def run_scale_envelope(cfg_path: str):
+    """Scale-envelope profile (VERDICT r4 item 4): the reference's
+    regime — hundreds of frames, many submaps at localMLP_num: 20
+    capacity (ref configs/FastCaMo-large/floor1.yaml:8), multiple
+    organic switch-backs — on the snake serpentine scene. One warm pass,
+    one timed unsynced pass (amortized FPS + ATE), one synced pass that
+    times the manager keyframe stage per call, tagged with the live
+    submap count, to check the decision engine does not grow
+    superlinearly with M (top-3 exclusion + fixed-capacity tables should
+    make it ~flat)."""
+    cfg, ds, n = _build_outback(cfg_path)
+    _drive(cfg, ds, n, synced=False)                     # warm
+    slam, _, events, total_s = _drive(cfg, ds, n, synced=False)
+    fps = (n - 1) / total_s
+    ate = float(slam.evaluate(n - 1)["absolute_translational_error.rmse"])
+    n_submaps = int(np.asarray(slam.state.localMLP_info[:, 0]).sum())
+
+    # synced pass: per-keyframe manager stage time vs submap count
+    slam3 = MIPSFusionTPU(cfg, dataset=ds)
+    mgr_ms, mgr_m = [], []
+    orig_pk = slam3.manager.process_keyframe
+
+    def timed_pk(st, depth, direction, pose, i, kf_id, force=False):
+        jax.block_until_ready(st.est_c2w)
+        t0 = time.perf_counter()
+        out = orig_pk(st, depth, direction, pose, i, kf_id, force=force)
+        jax.block_until_ready(out[0].est_c2w)
+        mgr_ms.append((time.perf_counter() - t0) * 1e3)
+        mgr_m.append(int(np.asarray(out[0].localMLP_info[:, 0]).sum()))
+        return out
+
+    slam3.manager.process_keyframe = timed_pk
+    for i in range(n):
+        slam3.process_frame({"frame_id": i, "c2w": ds.gt_pose(i)}, i)
+    mgr_ms_arr, mgr_m_arr = np.asarray(mgr_ms), np.asarray(mgr_m)
+    lo, hi = mgr_m_arr <= 3, mgr_m_arr >= max(4, mgr_m_arr.max() - 2)
+    return {
+        "scale_n_frames": n,
+        "scale_fps": round(fps, 3),
+        "scale_ate_rmse_m": round(ate, 5),
+        "scale_n_submaps": n_submaps,
+        "scale_switch_backs": len(events["back"]),
+        "scale_manager_p50_ms": round(float(np.percentile(mgr_ms_arr, 50)),
+                                      2),
+        "scale_manager_p99_ms": round(float(np.percentile(mgr_ms_arr, 99)),
+                                      2),
+        # manager keyframe stage, few-submaps vs many-submaps medians:
+        # flat => the decision engine is O(1) in live submap count
+        "scale_manager_ms_at_low_M": round(
+            float(np.median(mgr_ms_arr[lo])) if lo.any() else 0.0, 2),
+        "scale_manager_ms_at_high_M": round(
+            float(np.median(mgr_ms_arr[hi])) if hi.any() else 0.0, 2),
+    }
+
+
 def run_multisubmap_ate(cfg_path: str):
     """One untimed pass: ATE of the multi-submap scene at FULL budgets
     (validates that the fast profile's multi-submap ATE is honest —
@@ -209,11 +340,14 @@ def run_multisubmap_ate(cfg_path: str):
 def main():
     fast_fps, fast_ate = run_profile("configs/synthetic/orbit_fast.yaml")
     full_fps, full_ate = run_profile("configs/synthetic/orbit.yaml")
+    dev_fast = stage_device_times("configs/synthetic/orbit_fast.yaml")
+    dev_full = stage_device_times("configs/synthetic/orbit.yaml")
     multi = run_multisubmap("configs/synthetic/outback_fast.yaml")
     ms_full_ate, ms_full_backs = run_multisubmap_ate(
         "configs/synthetic/outback.yaml")
     multi["multi_submap_full_budget_ate_m"] = round(ms_full_ate, 5)
     multi["multi_submap_full_budget_switch_backs"] = ms_full_backs
+    multi.update(run_scale_envelope("configs/synthetic/snake_fast.yaml"))
     print(json.dumps({
         "metric": "tracked_fps",
         "value": round(fast_fps["median"], 3),
@@ -229,6 +363,8 @@ def main():
         "full_budget_fps_min": round(full_fps["min"], 3),
         "full_budget_fps_max": round(full_fps["max"], 3),
         "full_budget_ate_rmse_m": round(full_ate, 5),
+        "stage_device_ms": dev_fast,
+        "full_budget_stage_device_ms": dev_full,
         **multi,
     }))
 

@@ -186,6 +186,8 @@ class SyntheticDataset:
         syn = cfg.get("synthetic", {})
         self.room_half = jnp.asarray(syn.get("room_half", [3.0, 2.2, 2.5]))
         self.props = syn.get("props", "classic")
+        # peak yaw offset (rad) of the "revisit" return leg
+        self._revisit_amp = syn.get("revisit_amp", 0.9)
         # Sensor-noise model (VERDICT r4 item 7). The reference consumes
         # real RGB-D with quantized, noisy, hole-ridden depth
         # (ref datasets/dataset.py:83-90 depth-scale path, :172-180);
@@ -257,6 +259,23 @@ class SyntheticDataset:
             pos = np.array([0.6 * np.sin(2 * np.pi * t),
                             0.15 * np.sin(4 * np.pi * t),
                             0.4 * np.cos(2 * np.pi * t)])
+        elif trajectory == "revisit":
+            # wait-loop arming scene (ref Manager.py:494-518): out along
+            # +x like outback, but the return leg re-enters the first
+            # submap's region with a LARGE yaw offset — the containing
+            # ratio (AABB-based, view-independent) says "previous
+            # submap" (case 5) while the view barely overlaps the
+            # outbound keyframes, so the reprojection verify fails on
+            # min_pts -> case 5.2 arms the wait loop. The offset then
+            # eases back toward the outbound heading, the verify
+            # matures, and the switch issues via msg1 with
+            # localMLP_Id_wait.
+            tri = 1.0 - abs(2.0 * t - 1.0)   # 0 -> 1 -> 0
+            ret = max(0.0, 2.0 * t - 1.0)    # 0 on the way out, ->1 home
+            amp = getattr(self, "_revisit_amp", 0.9)
+            ang = (0.25 * np.sin(2 * np.pi * t)
+                   + amp * np.sin(np.pi * ret))
+            pos = np.array([2.4 * tri, 0.15 * np.sin(4 * np.pi * t), 0.0])
         elif trajectory == "snake":
             # scale-envelope trajectory (reference regime: 10-20 submaps
             # over 2000+ frame sequences, ref configs/FastCaMo-large/

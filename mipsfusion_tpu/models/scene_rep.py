@@ -88,9 +88,17 @@ class FieldConfig:
             cp_components=cfg["grid"].get("cp_components", 32),
         )
         freq = FrequencyConfig(n_frequencies=cfg["pos"]["n_bins"])
+        dec = cfg.get("decoder", {})
         decoder = DecoderConfig(
             input_ch=tri.out_dim if enc == "Triplane" else grid.out_dim,
             input_ch_pos=freq.out_dim + 3,
+            # ref model/decoder.py:10-16 knobs: hidden_dim sizes the
+            # trunk and the SDF branch, hidden_dim_color the RGB branch,
+            # geo_feat_dim the two trunk output embeddings
+            n_hidden=dec.get("hidden_dim", 128),
+            n_hidden_branch=dec.get("hidden_dim", 128),
+            n_hidden_rgb=dec.get("hidden_dim_color", 64),
+            n_hidden_sdf=dec.get("geo_feat_dim", 64),
         )
         t = cfg["training"]
         return FieldConfig(

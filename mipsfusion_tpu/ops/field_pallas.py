@@ -79,7 +79,7 @@ def _freq_rows(krow, n_freq: int):
 
 def _make_field_kernel(resolutions: Sequence[int], F: int, n_freq: int,
                        n_class: int, sdf_only: bool, has_cp: bool,
-                       return_embed: bool = False):
+                       return_embed: bool = False, n_sdf: int = 64):
     S = len(resolutions)
     DF = 3 * n_freq                     # sin rows (= cos rows)
     # PE row layout (all 8-aligned blocks — Mosaic requires aligned
@@ -186,11 +186,11 @@ def _make_field_kernel(resolutions: Sequence[int], F: int, n_freq: int,
                 preferred_element_type=f32)
             return jnp.maximum(h, 0.0) if relu else h
 
-        h0 = dense(w0_ref, peT[:w0_ref.shape[0]], True)      # [128, B]
-        # biases via VPU broadcast-add: keeps K at 128 (a 136-row
-        # bias-augmented operand pads to TWO 128-row MXU passes)
-        h1 = dense(w1_ref, h0, False) + bias_ref[:, 0:1]
-        sdf_emb = h1[:64]
+        h0 = dense(w0_ref, peT[:w0_ref.shape[0]], True)   # [n_hidden, B]
+        # biases via VPU broadcast-add: keeps K at the trunk width (a
+        # bias-augmented operand pads to an extra MXU pass)
+        h1 = dense(w1_ref, h0, False) + bias_ref[:w1_ref.shape[1], 0:1]
+        sdf_emb = h1[:n_sdf]
         sdf_in = jnp.concatenate([sdf_emb, embedT, ones8], axis=0)
         h2 = dense(ws0_ref, sdf_in[:ws0_ref.shape[0]], True)
         logits = dense(ws1_ref, h2, False) + bias_ref[0:8, 1:2]
@@ -208,7 +208,7 @@ def _make_field_kernel(resolutions: Sequence[int], F: int, n_freq: int,
             out_ref[:] = jnp.broadcast_to(sdf, (8, B))
             return
 
-        rgb_emb = h1[64:]
+        rgb_emb = h1[n_sdf:]
         rgb_in = jnp.concatenate([rgb_emb, peT], axis=0)
         rgb = dense(wr_ref, rgb_in, False)               # rows >= 3 pad
         entropy = -jnp.sum(
@@ -223,6 +223,20 @@ def _make_field_kernel(resolutions: Sequence[int], F: int, n_freq: int,
             (OUT_ROWS - 5 - n_class, B), f32)
 
     return kernel
+
+
+def _decoder_dims(decoder: Dict, embed_dim: int) -> Tuple[int, int, int]:
+    """(n_hidden_sdf, n_hidden_rgb, n_hidden_branch) from param shapes.
+
+    All decoder widths must be multiples of 8 (Mosaic sublane-aligned
+    slices/concats); init_decoder_params defaults satisfy this.
+    """
+    n_sdf = decoder["sdf0"]["w"].shape[0] - embed_dim
+    n_rgb = decoder["trunk1"]["w"].shape[1] - n_sdf
+    n_branch = decoder["sdf1"]["w"].shape[0]
+    assert n_sdf % 8 == 0 and n_rgb % 8 == 0 and n_branch % 8 == 0, (
+        n_sdf, n_rgb, n_branch)
+    return n_sdf, n_rgb, n_branch
 
 
 def _prep_weights(decoder: Dict, n_freq: int, embed_dim: int,
@@ -251,31 +265,38 @@ def _prep_weights(decoder: Dict, n_freq: int, embed_dim: int,
         rows = np.where(perm >= 0)[0]
         return out.at[jnp.asarray(rows)].set(w[jnp.asarray(perm[rows])])
 
+    # decoder widths, derived from the param shapes (DecoderConfig
+    # n_hidden / n_hidden_sdf / n_hidden_rgb / n_hidden_branch knobs):
+    n_sdf, n_rgb, n_branch = _decoder_dims(decoder, embed_dim)
+    tr1_out = n_sdf + n_rgb
+
     # trunk0: permuted pe rows; bias at the ones row (index 3)
     w0 = expand_pe(decoder["trunk0"]["w"]).at[3].set(
         decoder["trunk0"]["b"])
-    # trunk1 / sdf1: K kept at 128; biases go in a separate f32 ref
-    # (col 0 = trunk1 bias over 128 rows, col 1 rows 0..7 = sdf1 bias)
-    # and are broadcast-added on the VPU inside the kernel.
+    # trunk1 / sdf1: K kept at the hidden width; biases go in a
+    # separate f32 ref (col 0 = trunk1 bias, col 1 rows 0..7 = sdf1
+    # bias) and are broadcast-added on the VPU inside the kernel.
     w1 = decoder["trunk1"]["w"]
-    # sdf0: input sdf_emb(64) + embed(embed_dim) + ones8
-    s_in = 64 + embed_dim
-    ws0 = jnp.zeros((_round8(s_in + 1), 128), w0.dtype) \
+    # sdf0: input sdf_emb(n_sdf) + embed(embed_dim) + ones8
+    s_in = n_sdf + embed_dim
+    ws0 = jnp.zeros((_round8(s_in + 1), n_branch), w0.dtype) \
         .at[:s_in].set(decoder["sdf0"]["w"]) \
         .at[s_in].set(decoder["sdf0"]["b"])
-    ws1 = jnp.zeros((128, 8), w0.dtype) \
-        .at[:128, :decoder["sdf1"]["w"].shape[1]].set(decoder["sdf1"]["w"])
-    biases = jnp.zeros((128, 8), jnp.float32) \
-        .at[:, 0].set(decoder["trunk1"]["b"].astype(jnp.float32)) \
+    ws1 = jnp.zeros((n_branch, 8), w0.dtype) \
+        .at[:n_branch, :decoder["sdf1"]["w"].shape[1]].set(
+            decoder["sdf1"]["w"])
+    bias_rows = max(tr1_out, 8)
+    biases = jnp.zeros((bias_rows, 8), jnp.float32) \
+        .at[:tr1_out, 0].set(decoder["trunk1"]["b"].astype(jnp.float32)) \
         .at[:decoder["sdf1"]["b"].shape[0], 1].set(
             decoder["sdf1"]["b"].astype(jnp.float32))
     out = [w0, w1, ws0, ws1]
     if not sdf_only:
-        wr_full = decoder["rgb"]["w"]                 # [64+pe_dim, 3]
-        wr = jnp.zeros((64 + pe_rows, 8), w0.dtype) \
-            .at[:64, :3].set(wr_full[:64]) \
-            .at[64:, :3].set(expand_pe(wr_full[64:])) \
-            .at[64 + 3, :3].set(decoder["rgb"]["b"])
+        wr_full = decoder["rgb"]["w"]                 # [n_rgb+pe_dim, 3]
+        wr = jnp.zeros((n_rgb + pe_rows, 8), w0.dtype) \
+            .at[:n_rgb, :3].set(wr_full[:n_rgb]) \
+            .at[n_rgb:, :3].set(expand_pe(wr_full[n_rgb:])) \
+            .at[n_rgb + 3, :3].set(decoder["rgb"]["b"])
         out.append(wr)
     return tuple(w.astype(jnp.bfloat16) for w in out[:4]) + (biases,) \
         + tuple(w.astype(jnp.bfloat16) for w in out[4:])
@@ -303,6 +324,7 @@ def field_query_pallas(params: Dict, x: jnp.ndarray,
     embed_dim = len(resolutions) * F + (cp.shape[-1] if cp is not None
                                         else 0)
     weights = _prep_weights(params["decoder"], n_freq, embed_dim, sdf_only)
+    n_sdf, _, _ = _decoder_dims(params["decoder"], embed_dim)
 
     assert n_freq % 8 == 0, "kernel assumes 8-aligned frequency count"
     if x_transposed:
@@ -353,7 +375,7 @@ def field_query_pallas(params: Dict, x: jnp.ndarray,
     outs = pl.pallas_call(
         _make_field_kernel(tuple(resolutions), F, n_freq, n_class,
                            sdf_only, cp is not None,
-                           return_embed=return_embed),
+                           return_embed=return_embed, n_sdf=n_sdf),
         grid=(n_blocks,),
         in_specs=in_specs,
         out_specs=tuple(out_specs) if return_embed else out_specs[0],
@@ -388,11 +410,14 @@ def field_query_pallas(params: Dict, x: jnp.ndarray,
 # (ops/triplane_pallas.py) for d_planes and d_x(triplane).
 
 def _make_decoder_bwd_kernel(F: int, n_freq: int, n_class: int,
-                             embed_dim: int):
+                             embed_dim: int, n_sdf: int = 64,
+                             n_rgb: int = 64):
     DF = 3 * n_freq
     J = n_freq
-    s_in = 64 + embed_dim
+    s_in = n_sdf + embed_dim
     ws0_rows = _round8(s_in + 1)
+    tr1_out = n_sdf + n_rgb
+    bias_rows = max(tr1_out, 8)
 
     def kernel(xpad_ref, g_ref, embed_ref, w0_ref, w1_ref, ws0_ref,
                ws1_ref, bias_ref, wr_ref, dxpe_ref, dembed_ref, dw0_ref,
@@ -423,8 +448,8 @@ def _make_decoder_bwd_kernel(F: int, n_freq: int, n_class: int,
             return jnp.maximum(h, 0.0) if relu else h
 
         h0 = dense(w0_ref, peT, True)
-        h1 = dense(w1_ref, h0, False) + bias_ref[:, 0:1]
-        sdf_emb, rgb_emb = h1[:64], h1[64:]
+        h1 = dense(w1_ref, h0, False) + bias_ref[:w1_ref.shape[1], 0:1]
+        sdf_emb, rgb_emb = h1[:n_sdf], h1[n_sdf:]
         sdf_in = jnp.concatenate([sdf_emb, embedT, ones8], axis=0)
         h2 = dense(ws0_ref, sdf_in[:ws0_rows], True)
         logits = dense(ws1_ref, h2, False) + bias_ref[0:8, 1:2]
@@ -452,7 +477,7 @@ def _make_decoder_bwd_kernel(F: int, n_freq: int, n_class: int,
         g_rgb8 = jnp.where(row8 < 3, g[0:8], 0.0)
         d_rgb_in = jax.lax.dot_general(
             wr_ref[...], g_rgb8.astype(bf16), (((1,), (0,)), ((), ())),
-            preferred_element_type=f32)               # [64+pe_rows, B]
+            preferred_element_type=f32)           # [n_rgb+pe_rows, B]
         dWr = jax.lax.dot_general(
             rgb_in.astype(bf16), g_rgb8.astype(bf16),
             (((1,), (1,)), ((), ())), preferred_element_type=f32)
@@ -474,18 +499,18 @@ def _make_decoder_bwd_kernel(F: int, n_freq: int, n_class: int,
             sdf_in[:ws0_rows].astype(bf16), d_h2.astype(bf16),
             (((1,), (1,)), ((), ())), preferred_element_type=f32)
 
-        d_sdf_emb = d_sdf_in[:64]
-        dembed_ref[...] = d_sdf_in[64:64 + embed_dim]
+        d_sdf_emb = d_sdf_in[:n_sdf]
+        dembed_ref[...] = d_sdf_in[n_sdf:n_sdf + embed_dim]
 
         # trunk
-        d_h1 = jnp.concatenate([d_sdf_emb, d_rgb_in[:64]], axis=0)
+        d_h1 = jnp.concatenate([d_sdf_emb, d_rgb_in[:n_rgb]], axis=0)
         d_h0 = jax.lax.dot_general(
             w1_ref[...], d_h1.astype(bf16), (((1,), (0,)), ((), ())),
             preferred_element_type=f32)
         dW1 = jax.lax.dot_general(
             h0.astype(bf16), d_h1.astype(bf16), (((1,), (1,)), ((), ())),
             preferred_element_type=f32)
-        db1 = jnp.sum(d_h1, axis=1, keepdims=True)            # [128, 1]
+        db1 = jnp.sum(d_h1, axis=1, keepdims=True)        # [tr1_out, 1]
         d_h0 = d_h0 * (h0 > 0.0)
         d_pe = jax.lax.dot_general(
             w0_ref[...], d_h0.astype(bf16), (((1,), (0,)), ((), ())),
@@ -493,7 +518,7 @@ def _make_decoder_bwd_kernel(F: int, n_freq: int, n_class: int,
         dW0 = jax.lax.dot_general(
             peT.astype(bf16), d_h0.astype(bf16), (((1,), (1,)), ((), ())),
             preferred_element_type=f32)
-        d_pe = d_pe + d_rgb_in[64:]
+        d_pe = d_pe + d_rgb_in[n_rgb:]
 
         # PE chain -> d_x (the triplane d_x is added by the caller).
         # Group-sum the per-frequency angle grads with a one-hot matmul
@@ -510,10 +535,12 @@ def _make_decoder_bwd_kernel(F: int, n_freq: int, n_class: int,
         dxpe_ref[...] = dx8 + jnp.where(row8 < 3, d_pe[0:8], 0.0)
 
         # bias grads packed like the bias input: col0=trunk1, col1=sdf1
-        col8 = jax.lax.broadcasted_iota(jnp.int32, (128, 8), 1)
-        dbs1_pad = jnp.concatenate(
-            [dbs1, jnp.zeros((120, 1), f32)], axis=0)
-        dbias = (jnp.where(col8 == 0, db1, 0.0)
+        col8 = jax.lax.broadcasted_iota(jnp.int32, (bias_rows, 8), 1)
+        db1_pad = db1 if bias_rows == tr1_out else jnp.concatenate(
+            [db1, jnp.zeros((bias_rows - tr1_out, 1), f32)], axis=0)
+        dbs1_pad = dbs1 if bias_rows == 8 else jnp.concatenate(
+            [dbs1, jnp.zeros((bias_rows - 8, 1), f32)], axis=0)
+        dbias = (jnp.where(col8 == 0, db1_pad, 0.0)
                  + jnp.where(col8 == 1, dbs1_pad, 0.0))
 
         for ref, val in ((dw0_ref, dW0), (dw1_ref, dW1), (dws0_ref, dWs0),
@@ -552,10 +579,10 @@ def _decoder_bwd_call(params: Dict, xpadT: jnp.ndarray, gT: jnp.ndarray,
     embed_dim = embedT.shape[0]
     weights = _prep_weights(params["decoder"], n_freq, embed_dim,
                             sdf_only=False)
+    n_sdf, n_rgb, _ = _decoder_dims(params["decoder"], embed_dim)
     DF = 3 * n_freq
     pe_rows = 8 + 2 * DF
-    s_in = 64 + embed_dim
-    ws0_rows = _round8(s_in + 1)
+    s_in = n_sdf + embed_dim
     Np = xpadT.shape[1]
     n_blocks = Np // BLOCK_N
 
@@ -584,14 +611,16 @@ def _decoder_bwd_call(params: Dict, xpadT: jnp.ndarray, gT: jnp.ndarray,
         jax.ShapeDtypeStruct((8, Np), jnp.float32),
         jax.ShapeDtypeStruct((embed_dim, Np), jnp.float32),
     ]
-    for shape in ((pe_rows, 128), (128, 128), (ws0_rows, 128), (128, 8),
-                  (128, 8), (64 + pe_rows, 8)):
+    # weight-grad outputs have exactly the prepped weights' shapes
+    for w in weights:
+        shape = tuple(w.shape)
         out_specs.append(pl.BlockSpec(shape, lambda i, s=shape: (0,) * 2,
                                       memory_space=pltpu.VMEM))
         out_shapes.append(jax.ShapeDtypeStruct(shape, jnp.float32))
 
     outs = pl.pallas_call(
-        _make_decoder_bwd_kernel(F, n_freq, n_class, embed_dim),
+        _make_decoder_bwd_kernel(F, n_freq, n_class, embed_dim,
+                                 n_sdf=n_sdf, n_rgb=n_rgb),
         grid=(n_blocks,),
         in_specs=in_specs,
         out_specs=tuple(out_specs),
@@ -619,12 +648,12 @@ def _decoder_bwd_call(params: Dict, xpadT: jnp.ndarray, gT: jnp.ndarray,
     n_out_sdf1 = params["decoder"]["sdf1"]["w"].shape[1]
     ddecoder = {
         "trunk0": {"w": dW0[inv_j], "b": dW0[3]},
-        "trunk1": {"w": dW1[:128], "b": dBias[:, 0]},
+        "trunk1": {"w": dW1, "b": dBias[:n_sdf + n_rgb, 0]},
         "sdf0": {"w": dWs0[:s_in], "b": dWs0[s_in]},
-        "sdf1": {"w": dWs1[:128, :n_out_sdf1], "b": dBias[:n_out_sdf1, 1]},
+        "sdf1": {"w": dWs1[:, :n_out_sdf1], "b": dBias[:n_out_sdf1, 1]},
         "rgb": {"w": jnp.concatenate(
-            [dWr[:64, :3], dWr[64:][inv_j][:, :3]], axis=0),
-            "b": dWr[64 + 3, :3]},
+            [dWr[:n_rgb, :3], dWr[n_rgb:][inv_j][:, :3]], axis=0),
+            "b": dWr[n_rgb + 3, :3]},
     }
     return dxpe, dembed, ddecoder
 

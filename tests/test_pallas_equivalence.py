@@ -74,6 +74,41 @@ def test_transposed_entry_matches(field):
     np.testing.assert_allclose(a[:, 0], b[0], atol=1e-5)
 
 
+def test_nondefault_decoder_widths(field):
+    """Kernel width generalization: the fused fwd + VJP must track the
+    composite for a decoder whose widths differ from the 128/128/64/64
+    defaults (yaml `decoder.hidden_dim` etc., ref model/decoder.py:10-16
+    knobs). Asymmetric n_sdf/n_rgb exercises every derived split."""
+    fcfg0, _, x = field
+    x = x[:256]
+    fcfg = dataclasses.replace(
+        fcfg0, decoder=dataclasses.replace(
+            fcfg0.decoder, n_hidden=64, n_hidden_branch=64,
+            n_hidden_sdf=48, n_hidden_rgb=32))
+    params = sr.init_field_params(jax.random.PRNGKey(3), fcfg)
+    params["planes"] = {k: v * (1e4 if k.startswith("s") else 4.0)
+                        for k, v in params["planes"].items()}
+
+    ref = np.asarray(_composite(params, x, fcfg))
+    out = np.asarray(field_query_pallas(
+        params, x, fcfg.tri.resolutions, fcfg.freq.n_frequencies,
+        fcfg.decoder.n_class))
+    np.testing.assert_allclose(out, ref, atol=5e-3)
+
+    G = jax.random.normal(jax.random.PRNGKey(4), (256, 10)) * 0.1
+    gc = jax.grad(lambda p, xx: jnp.sum(_composite(p, xx, fcfg) * G),
+                  argnums=(0, 1))(params, x)
+    gf = jax.grad(lambda p, xx: jnp.sum(field_query_diff(
+        p, xx, fcfg.tri.resolutions, 8, 5) * G),
+        argnums=(0, 1))(params, x)
+    flat_c, _ = jax.flatten_util.ravel_pytree(gc[0])
+    flat_f, _ = jax.flatten_util.ravel_pytree(gf[0])
+    scale = float(jnp.abs(flat_c).max())
+    assert float(jnp.abs(flat_c - flat_f).max()) < 0.03 * scale + 1e-4
+    dx_scale = float(jnp.abs(gc[1]).max())
+    assert float(jnp.abs(gc[1] - gf[1]).max()) < 0.05 * dx_scale + 1e-4
+
+
 def test_vjp_matches_composite_grads(field):
     fcfg, params, x = field
     G = jax.random.normal(jax.random.PRNGKey(2), (512, 10)) * 0.1

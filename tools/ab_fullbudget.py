@@ -1,0 +1,166 @@
+"""A/B full-budget speed levers against ATE (VERDICT r4 item 1).
+
+Each variant runs the orbit benchmark scene at the REFERENCE compute
+budgets (5x2000x384 RO, 10x1000x75 GO, 15x2600 BA — configs/synthetic/
+orbit.yaml) with ONE lever applied, reporting steady-state FPS (median
+of 3 windows, bench.py methodology) and ATE. Variants that hold orbit
+ATE are re-validated on the two stress scenes (outback multi-submap
+switch-backs, sweep fast-motion) before being adopted.
+
+    python tools/ab_fullbudget.py                 # orbit sweep
+    python tools/ab_fullbudget.py --variant z39 --stress   # validate
+
+Levers (VERDICT r4 next-round item 1):
+  * z-importance cuts: the z-sampler is already depth-guided
+    (n_range_d samples in +-range_d around measured depth + n_samples_d
+    uniform free-space samples, ref model/scene_rep.py:156-176); the
+    uniform tail mostly supplies free-space supervision, so it thins
+    first. The fast profile's 24+15=39 holds ATE at fast budgets
+    (BASELINE.md); this quantifies where 75 is actually needed at FULL
+    budgets.
+  * decoder width: trunk hidden_dim 128 -> 64 (decoder is ~47% of the
+    fused forward kernel, tools/profile_field.py attribution).
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from mipsfusion_tpu.compile_cache import enable_compile_cache  # noqa: E402
+enable_compile_cache()
+
+Z39 = {"training.n_samples_d": 24, "training.n_range_d": 15}
+Z27 = {"training.n_samples_d": 16, "training.n_range_d": 11}
+
+VARIANTS = {
+    "full": {},
+    "z39": Z39,
+    "z27": Z27,
+    "dec64": {"decoder.hidden_dim": 64},
+    "pe6": {"pos.n_bins": 6},
+    "z27+dec64": {**Z27, "decoder.hidden_dim": 64},
+    "z27+dec64+pe6": {**Z27, "decoder.hidden_dim": 64, "pos.n_bins": 6},
+}
+
+N_WARM, N_BENCH, N_REPEAT = 16, 30, 3
+
+
+def run_orbit(overrides):
+    import jax
+    from mipsfusion_tpu.config import apply_overrides, load_config
+    from mipsfusion_tpu.datasets.synthetic import SyntheticDataset
+    from mipsfusion_tpu.slam.system import MIPSFusionTPU
+
+    cfg = load_config("configs/synthetic/orbit.yaml")
+    cfg["data"]["output"] = None
+    cfg = apply_overrides(cfg, overrides)
+    n_frames = N_WARM + N_REPEAT * N_BENCH + 1
+    ds = SyntheticDataset(cfg, n_frames=n_frames, trajectory="orbit",
+                          span=n_frames / 400.0)
+    for i in range(n_frames):
+        ds.packed(i)
+
+    def frame(i):
+        return {"frame_id": i, "c2w": ds.gt_pose(i)}
+
+    warm = MIPSFusionTPU(cfg, dataset=ds)
+    for i in range(n_frames):
+        warm.process_frame(frame(i), i)
+    jax.block_until_ready(warm.state.est_c2w)
+
+    slam = MIPSFusionTPU(cfg, dataset=ds)
+    slam.first_frame_mapping(frame(0), slam.mcfg.first_iters)
+    for i in range(1, N_WARM + 1):
+        slam.process_frame(frame(i), i)
+    jax.block_until_ready(slam.state.est_c2w)
+
+    fps_list, i0 = [], N_WARM + 1
+    for _rep in range(N_REPEAT):
+        t0 = time.perf_counter()
+        for i in range(i0, i0 + N_BENCH):
+            slam.process_frame(frame(i), i)
+        jax.block_until_ready(slam.state.est_c2w)
+        fps_list.append(N_BENCH / (time.perf_counter() - t0))
+        i0 += N_BENCH
+    ate = slam.evaluate(i0 - 1)["absolute_translational_error.rmse"]
+    return sorted(fps_list)[1], ate
+
+
+def run_stress(scene, overrides, mesh=False):
+    """One untimed full pass of a stress scene at full budgets + lever;
+    returns (ate_m, n_switch_backs[, mesh_metrics])."""
+    from mipsfusion_tpu.config import apply_overrides, load_config
+    from mipsfusion_tpu.datasets.synthetic import SyntheticDataset
+    from mipsfusion_tpu.slam.system import MIPSFusionTPU
+
+    cfg = load_config("configs/synthetic/outback.yaml")
+    cfg["data"]["output"] = None
+    if scene == "sweep":
+        cfg["synthetic"].update({"trajectory": "sweep", "n_frames": 120})
+        # single room, no submap churn: isolate fast-motion tracking
+        cfg["mapping"]["localMLP_max_len"] = [8.0, 8.0, 8.0]
+    cfg = apply_overrides(cfg, overrides)
+    n = cfg["synthetic"]["n_frames"]
+    traj = cfg["synthetic"]["trajectory"]
+    ds = SyntheticDataset(cfg, n_frames=n, trajectory=traj, span=1.0)
+    slam = MIPSFusionTPU(cfg, dataset=ds)
+    backs = []
+    orig = slam.active_submap_switch
+    slam.active_submap_switch = (
+        lambda f, i, k: (backs.append(i), orig(f, i, k))[1])
+    for i in range(n):
+        slam.process_frame({"frame_id": i, "c2w": ds.gt_pose(i)}, i)
+    ate = slam.evaluate(n - 1)["absolute_translational_error.rmse"]
+    if not mesh:
+        return float(ate), len(backs)
+    from mipsfusion_tpu.eval.recon import evaluate_synthetic_mesh
+    verts, _, _ = slam.extract_mesh()
+    mm = evaluate_synthetic_mesh(slam, n_gt_samples=20000, verts=verts)
+    return float(ate), len(backs), mm
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--variant", default=None,
+                    help="run one variant (default: all)")
+    ap.add_argument("--stress", action="store_true",
+                    help="also run outback+sweep validation")
+    args = ap.parse_args()
+
+    names = [args.variant] if args.variant else list(VARIANTS)
+    out = {}
+    for name in names:
+        ov = VARIANTS[name]
+        # device-time is the speed instrument (pipelined loops, tunnel
+        # RTT amortized out — the wall-clock A/B showed a 36% spread
+        # between two runs of the IDENTICAL program); one wall-clock
+        # orbit run supplies the ATE
+        from bench import stage_device_times
+        dev = stage_device_times("configs/synthetic/orbit.yaml", reps=20,
+                                 overrides=ov)
+        fps, ate = run_orbit(ov)
+        row = {"device_fps": dev["device_fps"],
+               "stage_ms": {k: dev[k] for k in
+                            ("ro_ms", "go_ms", "ba_ms", "steady_frame_ms")},
+               "orbit_wall_fps": round(fps, 2),
+               "orbit_ate_mm": round(ate * 1e3, 2)}
+        if args.stress:
+            a_ob, nb, mm = run_stress("outback", ov, mesh=True)
+            a_sw, _ = run_stress("sweep", ov)
+            row.update({"outback_ate_mm": round(a_ob * 1e3, 1),
+                        "outback_backs": nb,
+                        "outback_mesh_acc_mm": round(
+                            mm["mesh_accuracy_m"] * 1e3, 1),
+                        "outback_mesh_comp@5cm": round(
+                            mm["mesh_completion@5cm"], 3),
+                        "sweep_ate_mm": round(a_sw * 1e3, 1)})
+        out[name] = row
+        print(name, json.dumps(row), flush=True)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
