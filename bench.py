@@ -140,7 +140,7 @@ def stage_device_times(cfg_path: str, reps: int = 30, overrides=None):
     def track_var(n_ro, n_go):
         def fn(r):
             return tracker.track_frame(
-                params, slam.fcfg, slam.consts, slam.rcfg, slam.gcfg,
+                params, slam.fcfg_track, slam.consts, slam.rcfg, slam.gcfg,
                 slam.pst, jax.random.PRNGKey(r), packed[..., 3:6],
                 packed[..., 6], packed[..., :3], st.est_c2w,
                 jnp.asarray(n_warm - 1), jnp.asarray(True), slam.lw,
@@ -204,6 +204,9 @@ def _drive(cfg, ds, n, synced: bool):
         return {"frame_id": i, "c2w": ds.gt_pose(i)}
 
     per_ms = np.zeros(n)
+    events["wait_armed"], events["wait_matured"] = [], []
+    mgr = getattr(slam, "manager", None)
+    was_wait = False
     t_all = time.perf_counter()
     for i in range(n):
         t0 = time.perf_counter()
@@ -211,6 +214,16 @@ def _drive(cfg, ds, n, synced: bool):
         if synced:
             jax.block_until_ready(slam.state.est_c2w)
         per_ms[i] = (time.perf_counter() - t0) * 1e3
+        # organic wait-loop arming/maturing (ref Manager.py:494-518):
+        # arm = case 5.2 (re-entry whose overlap verify failed), mature
+        # = a later keyframe's wait-loop verify succeeding -> switch
+        if mgr is not None:
+            if mgr.wait_loop and not was_wait:
+                events["wait_armed"].append(i)
+            if was_wait and not mgr.wait_loop and \
+                    events["back"] and events["back"][-1] == i:
+                events["wait_matured"].append(i)
+            was_wait = mgr.wait_loop
     jax.block_until_ready(slam.state.est_c2w)
     total_s = time.perf_counter() - t_all
     return slam, per_ms, events, total_s
@@ -314,6 +327,8 @@ def run_scale_envelope(cfg_path: str):
         "scale_ate_rmse_m": round(ate, 5),
         "scale_n_submaps": n_submaps,
         "scale_switch_backs": len(events["back"]),
+        "scale_wait_armed": len(events["wait_armed"]),
+        "scale_wait_matured": len(events["wait_matured"]),
         "scale_manager_p50_ms": round(float(np.percentile(mgr_ms_arr, 50)),
                                       2),
         "scale_manager_p99_ms": round(float(np.percentile(mgr_ms_arr, 99)),
@@ -338,35 +353,53 @@ def run_multisubmap_ate(cfg_path: str):
 
 
 def main():
-    fast_fps, fast_ate = run_profile("configs/synthetic/orbit_fast.yaml")
-    full_fps, full_ate = run_profile("configs/synthetic/orbit.yaml")
-    dev_fast = stage_device_times("configs/synthetic/orbit_fast.yaml")
-    dev_full = stage_device_times("configs/synthetic/orbit.yaml")
-    multi = run_multisubmap("configs/synthetic/outback_fast.yaml")
-    ms_full_ate, ms_full_backs = run_multisubmap_ate(
-        "configs/synthetic/outback.yaml")
-    multi["multi_submap_full_budget_ate_m"] = round(ms_full_ate, 5)
-    multi["multi_submap_full_budget_switch_backs"] = ms_full_backs
-    multi.update(run_scale_envelope("configs/synthetic/snake_fast.yaml"))
-    print(json.dumps({
-        "metric": "tracked_fps",
-        "value": round(fast_fps["median"], 3),
-        "unit": "frames/s",
-        "vs_baseline": round(fast_fps["median"] / 30.0, 4),
-        "config": "configs/synthetic/orbit_fast.yaml (ATE-validated "
-                  "fast profile; process_frame incl. manager; median of "
-                  f"{N_REPEAT} windows)",
-        "fps_min": round(fast_fps["min"], 3),
-        "fps_max": round(fast_fps["max"], 3),
-        "ate_rmse_m": round(fast_ate, 5),
-        "full_budget_fps": round(full_fps["median"], 3),
-        "full_budget_fps_min": round(full_fps["min"], 3),
-        "full_budget_fps_max": round(full_fps["max"], 3),
-        "full_budget_ate_rmse_m": round(full_ate, 5),
-        "stage_device_ms": dev_fast,
-        "full_budget_stage_device_ms": dev_full,
-        **multi,
-    }))
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", default=None,
+                    choices=["fast", "full", "multi", "scale"],
+                    help="run one profile standalone (default: all, the "
+                         "driver's single-JSON-line contract)")
+    args = ap.parse_args()
+    parts = ([args.only] if args.only
+             else ["fast", "full", "multi", "scale"])
+
+    out = {}
+    if "fast" in parts:
+        fast_fps, fast_ate = run_profile("configs/synthetic/orbit_fast.yaml")
+        dev_fast = stage_device_times("configs/synthetic/orbit_fast.yaml")
+        out.update({
+            "metric": "tracked_fps",
+            "value": round(fast_fps["median"], 3),
+            "unit": "frames/s",
+            "vs_baseline": round(fast_fps["median"] / 30.0, 4),
+            "config": "configs/synthetic/orbit_fast.yaml (ATE-validated "
+                      "fast profile; process_frame incl. manager; median "
+                      f"of {N_REPEAT} windows)",
+            "fps_min": round(fast_fps["min"], 3),
+            "fps_max": round(fast_fps["max"], 3),
+            "ate_rmse_m": round(fast_ate, 5),
+            "stage_device_ms": dev_fast,
+        })
+    if "full" in parts:
+        full_fps, full_ate = run_profile("configs/synthetic/orbit.yaml")
+        dev_full = stage_device_times("configs/synthetic/orbit.yaml")
+        out.update({
+            "full_budget_fps": round(full_fps["median"], 3),
+            "full_budget_fps_min": round(full_fps["min"], 3),
+            "full_budget_fps_max": round(full_fps["max"], 3),
+            "full_budget_ate_rmse_m": round(full_ate, 5),
+            "full_budget_stage_device_ms": dev_full,
+        })
+    if "multi" in parts:
+        multi = run_multisubmap("configs/synthetic/outback_fast.yaml")
+        ms_full_ate, ms_full_backs = run_multisubmap_ate(
+            "configs/synthetic/outback.yaml")
+        multi["multi_submap_full_budget_ate_m"] = round(ms_full_ate, 5)
+        multi["multi_submap_full_budget_switch_backs"] = ms_full_backs
+        out.update(multi)
+    if "scale" in parts:
+        out.update(run_scale_envelope("configs/synthetic/snake_fast.yaml"))
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

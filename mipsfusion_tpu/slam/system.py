@@ -544,6 +544,16 @@ class MIPSFusionTPU:
             self.fcfg = _dc.replace(
                 self.fcfg, use_pallas=True,
                 decoder=_dc.replace(self.fcfg.decoder, bf16=True))
+        # Per-stage z-sampling budgets: tracking may run a leaner
+        # z-ladder than mapping (``tracking.n_samples_d`` /
+        # ``tracking.n_range_d`` override the shared ``training.*``
+        # values for GO only). The full-budget A/B (BASELINE.md round-5
+        # z-ladder sweep) is the evidence base for where each stage
+        # actually needs the reference's 75 samples.
+        import dataclasses as _dc
+        _tz = {k: config["tracking"][k] for k in
+               ("n_samples_d", "n_range_d") if k in config["tracking"]}
+        self.fcfg_track = _dc.replace(self.fcfg, **_tz) if _tz else self.fcfg
         self.rcfg = tracker.ROConfig.from_dict(config)
         self.gcfg = tracker.GOConfig.from_dict(config)
         self.mcfg = mapper.MapConfig.from_dict(config)
@@ -855,7 +865,8 @@ class MIPSFusionTPU:
             n_ro, n_go = self.rcfg.n_iters, self.gcfg.n_iters
 
         upd = tracker.track_frame_update(
-            self.submap_params[self.active_id], self.fcfg, self.consts,
+            self.submap_params[self.active_id], self.fcfg_track,
+            self.consts,
             self.rcfg, self.gcfg, self.pst, self._track_key, packed,
             st.est_c2w, st.est_c2w_rel, st.keyframe_ref, i, use_cs,
             bool(switch_tracking), st.active_first_kf, self.lw,

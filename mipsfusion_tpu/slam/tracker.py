@@ -44,6 +44,16 @@ class ROConfig:
     n_cols: int = 24
     n_iters: int = 5
     sdf_weight: float = 1000.0
+    # Two-stage fitness screen (TPU redesign, OFF by default = exact
+    # reference semantics): stage A scores ALL particles on an
+    # evenly-strided ``screen_px`` subset of the pixel grid, stage B
+    # re-scores the ``screen_keep`` best (identity always kept — it
+    # anchors f0) on the full grid; non-survivors get zero APS weight.
+    # Cuts the dominant [P*n] field-query batch ~2x at equal particle
+    # and pixel budgets. Validated on the fast-motion sweep + outback
+    # stress scenes before adoption (BASELINE.md round-5 A/B).
+    screen_px: int = 0
+    screen_keep: int = 0
 
     @staticmethod
     def from_dict(cfg: dict) -> "ROConfig":
@@ -54,6 +64,8 @@ class ROConfig:
             rescaling_factor=ro["rescaling_factor"],
             n_rows=ro["n_rows"], n_cols=ro["n_cols"],
             n_iters=cfg["tracking"]["iter_RO"],
+            screen_px=ro.get("screen_px", 0),
+            screen_keep=ro.get("screen_keep", 0),
         )
 
 
@@ -152,7 +164,26 @@ def ro_optimize(field_params: Dict, fcfg: sr.FieldConfig,
                              precision=jax.lax.Precision.HIGHEST)
         abs_trans = trans[None, :] + pst7[:, 4:]                  # [P,3]
 
-        fit, mean_sdf = fitness(abs_rot, abs_trans, pts_cam, valid)
+        P = pst.shape[0]
+        if 0 < rcfg.screen_keep < P and rcfg.screen_px > 0:
+            # stage A: every particle on an evenly-strided pixel subset
+            n_px = pts_cam.shape[0]
+            sub = jnp.linspace(0, n_px - 1, rcfg.screen_px) \
+                .astype(jnp.int32)
+            fit_a, _ = fitness(abs_rot, abs_trans, pts_cam[sub],
+                               valid[sub])
+            # identity (particle 0) anchors f0 — always survives
+            fit_a = fit_a.at[0].set(-jnp.inf)
+            _, keep = jax.lax.top_k(-fit_a, rcfg.screen_keep)
+            # stage B: survivors on the full grid; non-survivors score
+            # a large-but-FINITE sentinel (an inf would turn the
+            # (f0 - fit) * 0 weight product into NaN)
+            fit_b, ms_b = fitness(abs_rot[keep], abs_trans[keep],
+                                  pts_cam, valid)
+            fit = jnp.full((P,), 1e10, fit_b.dtype).at[keep].set(fit_b)
+            mean_sdf = jnp.zeros((P,), ms_b.dtype).at[keep].set(ms_b)
+        else:
+            fit, mean_sdf = fitness(abs_rot, abs_trans, pts_cam, valid)
 
         f0 = fit[0]
         better = (fit < f0).astype(jnp.float32)

@@ -29,3 +29,55 @@ def test_pst_zero_mean_and_identity_particle():
         assert float(jnp.abs(pst).max()) <= 2.0
         # still a real spread (not degenerate)
         assert float(pst.std()) > 0.5
+
+
+def _ro_setup(screen_px=0, screen_keep=0, P=64):
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_field import small_field_cfg
+    from mipsfusion_tpu.models import scene_rep as sr
+    from mipsfusion_tpu.slam import tracker
+
+    fcfg = small_field_cfg()
+    consts = sr.FieldConsts.from_norm_factor(jnp.asarray([3.0, 3.0, 3.0]))
+    params = sr.init_field_params(jax.random.PRNGKey(0), fcfg)
+    rcfg = ROConfig(particle_size=P, n_rows=6, n_cols=8, n_iters=3,
+                    screen_px=screen_px, screen_keep=screen_keep)
+    H, W = 24, 32
+    depth = jnp.full((H, W), 2.0)
+    ii, jj = jnp.meshgrid(jnp.arange(H), jnp.arange(W), indexing="ij")
+    dirs = jnp.stack([(jj - 16.0) / 20.0, (ii - 12.0) / 20.0,
+                      -jnp.ones_like(ii, jnp.float32)], -1)
+    row, col = tracker.ro_pixel_grid(H, W, rcfg)
+    return fcfg, consts, params, rcfg, depth, dirs, row, col
+
+
+def test_ro_screen_finite_and_rigid():
+    """Two-stage screen: result must stay a finite rigid transform (the
+    non-survivor sentinel is finite, so no NaN enters the APS weights)."""
+    from mipsfusion_tpu.slam import tracker
+    fcfg, consts, params, rcfg, depth, dirs, row, col = _ro_setup(
+        screen_px=16, screen_keep=24)
+    pst = make_pst(jax.random.PRNGKey(1), rcfg)
+    pose0 = jnp.eye(4).at[0, 3].set(0.05)
+    T = tracker.ro_optimize(params, fcfg, consts, rcfg, pst, depth, dirs,
+                            pose0, row, col, rcfg.n_iters)
+    T = np.asarray(T)
+    assert np.isfinite(T).all()
+    np.testing.assert_allclose(T[:3, :3] @ T[:3, :3].T, np.eye(3),
+                               atol=1e-4)
+
+
+def test_ro_screen_identity_anchor():
+    """With a degenerate all-identity swarm no particle beats particle 0
+    (fit == f0, and screened-out sentinels are > f0), so the pose must
+    come back EXACTLY unchanged — same as the exact path's no-success
+    branch."""
+    from mipsfusion_tpu.slam import tracker
+    fcfg, consts, params, rcfg, depth, dirs, row, col = _ro_setup(
+        screen_px=16, screen_keep=24)
+    pst = jnp.zeros((rcfg.particle_size, 6))
+    pose0 = jnp.eye(4).at[:3, 3].set(jnp.asarray([0.02, -0.01, 0.03]))
+    T = tracker.ro_optimize(params, fcfg, consts, rcfg, pst, depth, dirs,
+                            pose0, row, col, rcfg.n_iters)
+    np.testing.assert_allclose(np.asarray(T), np.asarray(pose0), atol=1e-6)

@@ -35,6 +35,9 @@ enable_compile_cache()
 Z39 = {"training.n_samples_d": 24, "training.n_range_d": 15}
 Z27 = {"training.n_samples_d": 16, "training.n_range_d": 11}
 
+ZGO27 = {"tracking.n_samples_d": 16, "tracking.n_range_d": 11}
+ZGO39 = {"tracking.n_samples_d": 24, "tracking.n_range_d": 15}
+
 VARIANTS = {
     "full": {},
     "z39": Z39,
@@ -43,6 +46,17 @@ VARIANTS = {
     "pe6": {"pos.n_bins": 6},
     "z27+dec64": {**Z27, "decoder.hidden_dim": 64},
     "z27+dec64+pe6": {**Z27, "decoder.hidden_dim": 64, "pos.n_bins": 6},
+    # per-stage splits (tracking.* override the z-ladder for GO only;
+    # mapping keeps training.*)
+    "zgo27": ZGO27,                       # GO thin, BA at the full 75
+    "zgo27+zba39": {**ZGO27, **Z39},      # GO thin, BA mid
+    "zgo39+zba39": {**ZGO39, **Z39},
+    # two-stage RO screen: all 2000 particles on 96 px, best 512 on the
+    # full 384 px (tracker.ro_optimize; identity always kept)
+    "ro2": {"tracking.RO.screen_px": 96, "tracking.RO.screen_keep": 512},
+    "ro2+zgo27+zba39": {"tracking.RO.screen_px": 96,
+                        "tracking.RO.screen_keep": 512,
+                        **ZGO27, **Z39},
 }
 
 N_WARM, N_BENCH, N_REPEAT = 16, 30, 3
@@ -89,15 +103,19 @@ def run_orbit(overrides):
     return sorted(fps_list)[1], ate
 
 
-def run_stress(scene, overrides, mesh=False):
+def run_stress(scene, overrides, mesh=False, seed=0):
     """One untimed full pass of a stress scene at full budgets + lever;
-    returns (ate_m, n_switch_backs[, mesh_metrics])."""
+    returns (ate_m, n_switch_backs[, mesh_metrics]). ``seed`` re-draws
+    the PST/sampling streams — stress-scene ATE is lottery-dominated
+    (switch-back threshold crossings, RO basin escapes), so adoption
+    decisions need the multi-seed spread, not one draw."""
     from mipsfusion_tpu.config import apply_overrides, load_config
     from mipsfusion_tpu.datasets.synthetic import SyntheticDataset
     from mipsfusion_tpu.slam.system import MIPSFusionTPU
 
     cfg = load_config("configs/synthetic/outback.yaml")
     cfg["data"]["output"] = None
+    cfg["seed"] = seed
     if scene == "sweep":
         cfg["synthetic"].update({"trajectory": "sweep", "n_frames": 120})
         # single room, no submap churn: isolate fast-motion tracking
@@ -128,6 +146,10 @@ def main():
                     help="run one variant (default: all)")
     ap.add_argument("--stress", action="store_true",
                     help="also run outback+sweep validation")
+    ap.add_argument("--seeds", type=int, default=1,
+                    help="stress-scene seeds (PST/sampling re-draws); "
+                         "stress ATE is lottery-dominated, use >= 3 for "
+                         "adoption decisions")
     args = ap.parse_args()
 
     names = [args.variant] if args.variant else list(VARIANTS)
@@ -148,15 +170,26 @@ def main():
                "orbit_wall_fps": round(fps, 2),
                "orbit_ate_mm": round(ate * 1e3, 2)}
         if args.stress:
-            a_ob, nb, mm = run_stress("outback", ov, mesh=True)
-            a_sw, _ = run_stress("sweep", ov)
-            row.update({"outback_ate_mm": round(a_ob * 1e3, 1),
-                        "outback_backs": nb,
+            obs, sws, backs = [], [], []
+            mm = None
+            for s in range(args.seeds):
+                a_ob, nb, mm = run_stress("outback", ov, mesh=True, seed=s)
+                a_sw, _ = run_stress("sweep", ov, seed=s)
+                obs.append(round(a_ob * 1e3, 1))
+                sws.append(round(a_sw * 1e3, 1))
+                backs.append(nb)
+                print(f"  seed {s}: outback {obs[-1]} mm "
+                      f"({nb} backs), sweep {sws[-1]} mm", flush=True)
+            med = lambda xs: sorted(xs)[len(xs) // 2]  # noqa: E731
+            row.update({"outback_ate_mm": med(obs),
+                        "outback_ate_mm_seeds": obs,
+                        "outback_backs": med(backs),
                         "outback_mesh_acc_mm": round(
                             mm["mesh_accuracy_m"] * 1e3, 1),
                         "outback_mesh_comp@5cm": round(
                             mm["mesh_completion@5cm"], 3),
-                        "sweep_ate_mm": round(a_sw * 1e3, 1)})
+                        "sweep_ate_mm": med(sws),
+                        "sweep_ate_mm_seeds": sws})
         out[name] = row
         print(name, json.dumps(row), flush=True)
     print(json.dumps(out))
