@@ -146,6 +146,8 @@ def main():
                     help="run one variant (default: all)")
     ap.add_argument("--stress", action="store_true",
                     help="also run outback+sweep validation")
+    ap.add_argument("--stress-only", action="store_true",
+                    help="skip the orbit speed/ATE part")
     ap.add_argument("--seeds", type=int, default=1,
                     help="stress-scene seeds (PST/sampling re-draws); "
                          "stress ATE is lottery-dominated, use >= 3 for "
@@ -156,19 +158,22 @@ def main():
     out = {}
     for name in names:
         ov = VARIANTS[name]
-        # device-time is the speed instrument (pipelined loops, tunnel
-        # RTT amortized out — the wall-clock A/B showed a 36% spread
-        # between two runs of the IDENTICAL program); one wall-clock
-        # orbit run supplies the ATE
-        from bench import stage_device_times
-        dev = stage_device_times("configs/synthetic/orbit.yaml", reps=20,
-                                 overrides=ov)
-        fps, ate = run_orbit(ov)
-        row = {"device_fps": dev["device_fps"],
-               "stage_ms": {k: dev[k] for k in
-                            ("ro_ms", "go_ms", "ba_ms", "steady_frame_ms")},
-               "orbit_wall_fps": round(fps, 2),
-               "orbit_ate_mm": round(ate * 1e3, 2)}
+        row = {}
+        if not args.stress_only:
+            # device-time is the speed instrument (pipelined loops,
+            # tunnel RTT amortized out — the wall-clock A/B showed a 36%
+            # spread between two runs of the IDENTICAL program); one
+            # wall-clock orbit run supplies the ATE
+            from bench import stage_device_times
+            dev = stage_device_times("configs/synthetic/orbit.yaml",
+                                     reps=20, overrides=ov)
+            fps, ate = run_orbit(ov)
+            row = {"device_fps": dev["device_fps"],
+                   "stage_ms": {k: dev[k] for k in
+                                ("ro_ms", "go_ms", "ba_ms",
+                                 "steady_frame_ms")},
+                   "orbit_wall_fps": round(fps, 2),
+                   "orbit_ate_mm": round(ate * 1e3, 2)}
         if args.stress:
             obs, sws, backs = [], [], []
             mm = None
