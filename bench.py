@@ -1,6 +1,6 @@
 """Benchmark: tracked FPS of the full SLAM loop on TPU.
 
-Three profiles, ONE JSON line:
+Four profiles, ONE JSON line (run one standalone with --only):
 
   * steady state, fast profile (configs/synthetic/orbit_fast.yaml:
     4 RO iters x 1024 particles x 192 px; 8 GO iters x 512 rays x 39
@@ -17,6 +17,16 @@ Three profiles, ONE JSON line:
     from an unsynced pass, per-frame latency percentiles + the worst
     switch frame from a synced pass (each synced frame pays the remote
     tunnel's ~RTT once — reported raw), and final meshing wall time.
+  * scale-envelope profile (configs/synthetic/snake_fast.yaml): the
+    reference's regime — 600 frames, localMLP_num: 20, many submaps,
+    organic switch-backs both ways — with the manager keyframe stage
+    timed against the live submap count (superlinear growth would show
+    here first).
+
+The fast/full profiles also report per-stage DEVICE time
+(`stage_device_times`: stages dispatched back-to-back, one block at the
+end, tunnel RTT amortized out) so chip-perf claims decouple from
+tunnel-weather wall-clock spread.
 
 "value" is the fast-profile steady FPS; vs_baseline is value / 30 fps
 (the north-star target in BASELINE.json — the reference publishes no
