@@ -734,6 +734,7 @@ class MIPSFusionTPU:
         # scalar; -1 = unseeded). Reset at submap switches, where the
         # loss distribution legitimately changes.
         self._loss_ewma = jnp.asarray(-1.0, jnp.float32)
+        self._prev_loss = jnp.asarray(-1.0, jnp.float32)
         self.last_switch_frame = 0
         self._gt_cache: Dict[int, np.ndarray] = {}
 
@@ -873,11 +874,13 @@ class MIPSFusionTPU:
             n_ro, n_go, self.keyframe_every,
             from_current=bool(switch_tracking),
             loss_ewma=self._loss_ewma,
+            prev_loss=self._prev_loss,
             ray_sharding=self._ray_sharding)
         self.state = st._replace(est_c2w=upd.est_c2w,
                                  est_c2w_rel=upd.est_c2w_rel,
                                  keyframe_ref=upd.keyframe_ref)
         self._loss_ewma = upd.loss_ewma       # device scalar, no sync
+        self._prev_loss = upd.loss            # escalation signal
         self.track_losses.append(upd.loss)
         self.track_accepted.append(upd.accepted)
 
@@ -935,6 +938,7 @@ class MIPSFusionTPU:
         self._host_used = max(self._host_used, new_id + 1)
         self.last_switch_frame = i
         self._loss_ewma = jnp.asarray(-1.0, jnp.float32)  # new loss regime
+        self._prev_loss = jnp.asarray(-1.0, jnp.float32)
         st = st._replace(active_first_kf=jnp.asarray(kf_id, jnp.int32),
                          last_switch_frame=jnp.asarray(i, jnp.int32))
         self.state = st
@@ -1003,6 +1007,7 @@ class MIPSFusionTPU:
         self.optim_cur = True
         self.inactive_started = True
         self._loss_ewma = jnp.asarray(-1.0, jnp.float32)  # new loss regime
+        self._prev_loss = jnp.asarray(-1.0, jnp.float32)
 
     def local_ba_switch(self, frame: Dict, kf_id: int, i: int):
         """Pose-only BA of the loop keyframe vs the switched-to submap
@@ -1578,6 +1583,7 @@ class MIPSFusionTPU:
         # background refinement resumes iff inactive submaps exist
         self.inactive_started = self._host_used > 1
         self._loss_ewma = jnp.asarray(-1.0, jnp.float32)  # fresh regime
+        self._prev_loss = jnp.asarray(-1.0, jnp.float32)
         return last_frame + 1
 
     def save_checkpoint(self, tag: str = "final"):

@@ -54,6 +54,16 @@ class ROConfig:
     # stress scenes before adoption (BASELINE.md round-5 A/B).
     screen_px: int = 0
     screen_keep: int = 0
+    # Adaptive search escalation (TPU rebuild robustness lever, OFF by
+    # default): scale the per-frame INITIAL search size by
+    # clip(prev_loss / loss_EWMA, 1, escalate). The reference's search
+    # size adapts within a frame (mean-SDF rescale) but every frame
+    # restarts at the same fixed reach (~4-5 deg); the round-5
+    # multi-seed stress A/B traced fast-motion divergence to gradual
+    # basin slides whose 2-6 deg wobbles sit exactly at that reach —
+    # tracking strain (loss over EWMA) is the on-device signal that the
+    # reach must briefly grow (tools/diag_sweep.py).
+    escalate: float = 0.0
 
     @staticmethod
     def from_dict(cfg: dict) -> "ROConfig":
@@ -66,6 +76,7 @@ class ROConfig:
             n_iters=cfg["tracking"]["iter_RO"],
             screen_px=ro.get("screen_px", 0),
             screen_keep=ro.get("screen_keep", 0),
+            escalate=ro.get("escalate", 0.0),
         )
 
 
@@ -112,7 +123,8 @@ def ro_optimize(field_params: Dict, fcfg: sr.FieldConfig,
                 pst: jnp.ndarray, depth_img: jnp.ndarray,
                 rays_dir_img: jnp.ndarray, initial_pose: jnp.ndarray,
                 row_idx: jnp.ndarray, col_idx: jnp.ndarray,
-                n_iters: int, ray_sharding=None) -> jnp.ndarray:
+                n_iters: int, ray_sharding=None,
+                ss_scale=None) -> jnp.ndarray:
     """Run the particle-swarm search; returns the refined pose [4, 4].
 
     Semantics mirror RandomOptimizer.optimize (ref :164-227): per iter,
@@ -215,6 +227,8 @@ def ro_optimize(field_params: Dict, fcfg: sr.FieldConfig,
     rot0 = initial_pose[:3, :3]
     trans0 = initial_pose[:3, 3]
     ss0 = jnp.full((1, 6), rcfg.initial_scaling_factor)
+    if ss_scale is not None:
+        ss0 = ss0 * ss_scale
     rot, trans, _ = jax.lax.fori_loop(0, n_iters, body, (rot0, trans0, ss0))
     T = jnp.eye(4, dtype=initial_pose.dtype)
     T = T.at[:3, :3].set(rot).at[:3, 3].set(trans)
@@ -434,6 +448,7 @@ def track_frame_update(field_params: Dict, fcfg: sr.FieldConfig,
                        n_iter_go: int, keyframe_every: int,
                        from_current: bool = False,
                        loss_ewma: jnp.ndarray = None,
+                       prev_loss: jnp.ndarray = None,
                        ray_sharding=None) -> TrackUpdate:
     """Track frame ``frame_idx`` AND commit the pose-store bookkeeping
     (ref mipsfusion.py:470-576 including the :558-576 epilogue) in one
@@ -453,7 +468,7 @@ def track_frame_update(field_params: Dict, fcfg: sr.FieldConfig,
                       packed_frame[..., :3], est_c2w, frame_idx,
                       use_const_speed, lw, n_iter_ro, n_iter_go,
                       from_current=from_current, loss_ewma=loss_ewma,
-                      ray_sharding=ray_sharding)
+                      prev_loss=prev_loss, ray_sharding=ray_sharding)
 
     # pose-store epilogue (ref mipsfusion.py:558-576)
     kf_id = frame_idx // keyframe_every
@@ -487,6 +502,7 @@ def track_frame(field_params: Dict, fcfg: sr.FieldConfig,
                 lw: sr.LossWeights, n_iter_ro: int, n_iter_go: int,
                 from_current: bool = False,
                 loss_ewma: jnp.ndarray = None,
+                prev_loss: jnp.ndarray = None,
                 ray_sharding=None) -> TrackResult:
     """Full per-frame tracking: motion model -> RO -> GO. One jitted call.
 
@@ -512,11 +528,21 @@ def track_frame(field_params: Dict, fcfg: sr.FieldConfig,
 
     pose = pred
     if n_iter_ro > 0:
+        ss_scale = None
+        if rcfg.escalate > 0.0 and prev_loss is not None:
+            # tracking-strain escalation: grow the initial reach by the
+            # previous frame's loss over the accepted-loss EWMA (both
+            # device scalars — no sync). Inactive until the EWMA seeds.
+            ew = loss_ewma if loss_ewma is not None \
+                else jnp.asarray(-1.0, jnp.float32)
+            ratio = prev_loss / jnp.maximum(ew, 1e-8)
+            ss_scale = jnp.where((ew > 0.0) & (prev_loss > 0.0),
+                                 jnp.clip(ratio, 1.0, rcfg.escalate), 1.0)
         row_idx, col_idx = ro_pixel_grid(H, W, rcfg)
         pose = ro_optimize(field_params, fcfg, consts, rcfg, pst,
                            depth_img, rays_dir_img, pose, row_idx,
                            col_idx, n_iter_ro,
-                           ray_sharding=ray_sharding)
+                           ray_sharding=ray_sharding, ss_scale=ss_scale)
 
     # pixel selection for GO (fixed across iterations, ref :504-522)
     rr, cc = sample_pixels_mix(k_px, H, W, rcfg.n_rows, rcfg.n_cols,

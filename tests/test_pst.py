@@ -81,3 +81,40 @@ def test_ro_screen_identity_anchor():
     T = tracker.ro_optimize(params, fcfg, consts, rcfg, pst, depth, dirs,
                             pose0, row, col, rcfg.n_iters)
     np.testing.assert_allclose(np.asarray(T), np.asarray(pose0), atol=1e-6)
+
+
+def test_ro_escalation_inactive_until_seeded():
+    """tracking.RO.escalate must be a no-op while the loss EWMA is
+    unseeded (fresh regime after init/switch) and when prev strain is
+    at/below the EWMA — the reference fixed-reach behavior — and must
+    grow the initial search size by clip(prev/EWMA, 1, cap) once
+    strained (tracker.track_frame; diag: tools/diag_sweep.py)."""
+    import dataclasses
+    from mipsfusion_tpu.slam import tracker
+    fcfg, consts, params, rcfg, depth, dirs, row, col = _ro_setup()
+    rgb = jnp.zeros(depth.shape + (3,))
+    est = jnp.broadcast_to(jnp.eye(4), (8, 4, 4))
+    gcfg = tracker.GOConfig(n_iters=0, n_rays=64)
+    pst = make_pst(jax.random.PRNGKey(1), rcfg)
+
+    from mipsfusion_tpu.models import scene_rep as sr
+    lw = sr.LossWeights()
+
+    def run(esc, prev, ewma):
+        rc = dataclasses.replace(rcfg, escalate=esc)
+        res = tracker.track_frame(
+            params, fcfg, consts, rc, gcfg, pst, jax.random.PRNGKey(0),
+            rgb, depth, dirs, est, jnp.asarray(3), jnp.asarray(False),
+            lw, rcfg.n_iters, 0,
+            loss_ewma=jnp.asarray(ewma, jnp.float32),
+            prev_loss=jnp.asarray(prev, jnp.float32))
+        return np.asarray(res.pose)
+
+    base = run(0.0, -1.0, -1.0)
+    # unseeded EWMA: escalation must not change the pose
+    np.testing.assert_allclose(run(4.0, -1.0, -1.0), base, atol=0)
+    # seeded but unstrained (prev == ewma): still identical
+    np.testing.assert_allclose(run(4.0, 0.01, 0.01), base, atol=0)
+    # strained: the search reach changes, so the pose must differ
+    strained = run(4.0, 0.08, 0.01)
+    assert np.abs(strained - base).max() > 0

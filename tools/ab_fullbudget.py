@@ -57,6 +57,18 @@ VARIANTS = {
     "ro2+zgo27+zba39": {"tracking.RO.screen_px": 96,
                         "tracking.RO.screen_keep": 512,
                         **ZGO27, **Z39},
+    # adaptive RO search escalation (robustness, not speed): initial
+    # reach scales with prev-loss/EWMA strain, capped at 4x / 8x
+    "roesc4": {"tracking.RO.escalate": 4.0},
+    "roesc8": {"tracking.RO.escalate": 8.0},
+    "roesc4+zgo27+zba39": {"tracking.RO.escalate": 4.0, **ZGO27, **Z39},
+    # anti-boiling-frog: stricter acceptance + escalated re-search
+    "gate25": {"tracking.pose_gate.rel": 2.5},
+    "gate25+roesc4": {"tracking.pose_gate.rel": 2.5,
+                      "tracking.RO.escalate": 4.0},
+    # quadratic GO anchor to the motion prediction (observability aid)
+    "mp1": {"tracking.motion_prior_w": 1.0},
+    "mp10": {"tracking.motion_prior_w": 10.0},
 }
 
 N_WARM, N_BENCH, N_REPEAT = 16, 30, 3
@@ -148,6 +160,8 @@ def main():
                     help="also run outback+sweep validation")
     ap.add_argument("--stress-only", action="store_true",
                     help="skip the orbit speed/ATE part")
+    ap.add_argument("--scenes", default="outback,sweep",
+                    help="comma subset of stress scenes")
     ap.add_argument("--seeds", type=int, default=1,
                     help="stress-scene seeds (PST/sampling re-draws); "
                          "stress ATE is lottery-dominated, use >= 3 for "
@@ -175,26 +189,33 @@ def main():
                    "orbit_wall_fps": round(fps, 2),
                    "orbit_ate_mm": round(ate * 1e3, 2)}
         if args.stress:
+            scenes = args.scenes.split(",")
             obs, sws, backs = [], [], []
             mm = None
             for s in range(args.seeds):
-                a_ob, nb, mm = run_stress("outback", ov, mesh=True, seed=s)
-                a_sw, _ = run_stress("sweep", ov, seed=s)
-                obs.append(round(a_ob * 1e3, 1))
-                sws.append(round(a_sw * 1e3, 1))
-                backs.append(nb)
-                print(f"  seed {s}: outback {obs[-1]} mm "
-                      f"({nb} backs), sweep {sws[-1]} mm", flush=True)
+                if "outback" in scenes:
+                    a_ob, nb, mm = run_stress("outback", ov, mesh=True,
+                                              seed=s)
+                    obs.append(round(a_ob * 1e3, 1))
+                    backs.append(nb)
+                if "sweep" in scenes:
+                    a_sw, _ = run_stress("sweep", ov, seed=s)
+                    sws.append(round(a_sw * 1e3, 1))
+                print(f"  seed {s}: outback {obs[-1] if obs else '-'} mm "
+                      f"({backs[-1] if backs else '-'} backs), "
+                      f"sweep {sws[-1] if sws else '-'} mm", flush=True)
             med = lambda xs: sorted(xs)[len(xs) // 2]  # noqa: E731
-            row.update({"outback_ate_mm": med(obs),
-                        "outback_ate_mm_seeds": obs,
-                        "outback_backs": med(backs),
-                        "outback_mesh_acc_mm": round(
-                            mm["mesh_accuracy_m"] * 1e3, 1),
-                        "outback_mesh_comp@5cm": round(
-                            mm["mesh_completion@5cm"], 3),
-                        "sweep_ate_mm": med(sws),
-                        "sweep_ate_mm_seeds": sws})
+            if obs:
+                row.update({"outback_ate_mm": med(obs),
+                            "outback_ate_mm_seeds": obs,
+                            "outback_backs": med(backs),
+                            "outback_mesh_acc_mm": round(
+                                mm["mesh_accuracy_m"] * 1e3, 1),
+                            "outback_mesh_comp@5cm": round(
+                                mm["mesh_completion@5cm"], 3)})
+            if sws:
+                row.update({"sweep_ate_mm": med(sws),
+                            "sweep_ate_mm_seeds": sws})
         out[name] = row
         print(name, json.dumps(row), flush=True)
     print(json.dumps(out))
