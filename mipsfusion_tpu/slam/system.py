@@ -561,6 +561,7 @@ class MIPSFusionTPU:
 
         m = config["mapping"]
         self.keyframe_every = m["keyframe_every"]
+        self.kf_strain_mask = float(m.get("kf_strain_mask", 0.0))
         self.map_every = m["map_every"]
         # state capacities are BUCKETED (next multiple of 256 frames) so
         # different sequence lengths share compiled programs — otherwise
@@ -905,7 +906,24 @@ class MIPSFusionTPU:
         self.map_opt_state = opt_state
 
     def add_keyframe(self, frame: Dict, i: int):
-        st = slam_state.add_keyframe(self.state, self._packed(frame), i,
+        packed = self._packed(frame)
+        if self.kf_strain_mask > 0.0:
+            # Keyframe-poisoning guard (mapping.kf_strain_mask rel
+            # threshold, 0 = off): a keyframe tracked under strain
+            # (loss > rel x accepted-loss EWMA — the same on-device
+            # signal as the pose gate) stores ZERO-DEPTH rays, which are
+            # inert in every loss term (ops/losses.get_masks depth_mask;
+            # rgb weighted by training.rgb_missing for invalid depth) —
+            # so a slipped pose cannot bake itself into the BA/refine
+            # supervision. The keyframe still exists for manager/anchor
+            # bookkeeping. Motivated by the round-5 sweep-lottery trace
+            # (tools/diag_sweep.py): divergence onset keyframes carried
+            # 0.6-1.0 m pose error into the ray store.
+            strained = (self._loss_ewma > 0.0) & \
+                (self._prev_loss > self.kf_strain_mask * self._loss_ewma)
+            packed = packed.at[..., 6].multiply(
+                jnp.where(strained, 0.0, 1.0))
+        st = slam_state.add_keyframe(self.state, packed, i,
                                      self.kf_rows, self.kf_cols)
         kf_id = i // self.keyframe_every
         if not self.use_manager:

@@ -69,6 +69,10 @@ VARIANTS = {
     # quadratic GO anchor to the motion prediction (observability aid)
     "mp1": {"tracking.motion_prior_w": 1.0},
     "mp10": {"tracking.motion_prior_w": 10.0},
+    # keyframe-poisoning guard: strained keyframes store inert rays
+    "kfmask25": {"mapping.kf_strain_mask": 2.5},
+    "kfmask25+roesc4": {"mapping.kf_strain_mask": 2.5,
+                        "tracking.RO.escalate": 4.0},
 }
 
 N_WARM, N_BENCH, N_REPEAT = 16, 30, 3
