@@ -188,6 +188,8 @@ class SyntheticDataset:
         self.props = syn.get("props", "classic")
         # peak yaw offset (rad) of the "revisit" return leg
         self._revisit_amp = syn.get("revisit_amp", 0.9)
+        # where in the return leg (ret in (0, 1]) the yaw bump peaks
+        self._revisit_phase = syn.get("revisit_phase", 0.5)
         # Sensor-noise model (VERDICT r4 item 7). The reference consumes
         # real RGB-D with quantized, noisy, hole-ridden depth
         # (ref datasets/dataset.py:83-90 depth-scale path, :172-180);
@@ -273,8 +275,15 @@ class SyntheticDataset:
             tri = 1.0 - abs(2.0 * t - 1.0)   # 0 -> 1 -> 0
             ret = max(0.0, 2.0 * t - 1.0)    # 0 on the way out, ->1 home
             amp = getattr(self, "_revisit_amp", 0.9)
-            ang = (0.25 * np.sin(2 * np.pi * t)
-                   + amp * np.sin(np.pi * ret))
+            # yaw-offset BUMP on the return leg: peaks amp at
+            # ret = revisit_phase, decays to zero by 2*phase — so the
+            # first re-entry keyframe sees a large off-axis view (verify
+            # fails on min_pts -> case 5.2 arms the wait loop) and a
+            # few keyframes later the view re-aligns (verify matures ->
+            # msg1 switch with localMLP_Id_wait)
+            p = getattr(self, "_revisit_phase", 0.5)
+            bump = np.sin(np.pi * np.clip(ret / (2.0 * p), 0.0, 1.0))
+            ang = 0.25 * np.sin(2 * np.pi * t) + amp * bump
             pos = np.array([2.4 * tri, 0.15 * np.sin(4 * np.pi * t), 0.0])
         elif trajectory == "snake":
             # scale-envelope trajectory (reference regime: 10-20 submaps

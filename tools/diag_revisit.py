@@ -24,6 +24,7 @@ enable_compile_cache()
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--amp", type=float, default=0.9)
+    ap.add_argument("--phase", type=float, default=0.5)
     ap.add_argument("--n", type=int, default=200)
     ap.add_argument("--config", default="configs/synthetic/outback_fast.yaml")
     ap.add_argument("--cpu", action="store_true")
@@ -40,7 +41,8 @@ def main():
     cfg = load_config(args.config)
     cfg["data"]["output"] = None
     cfg["synthetic"].update({"trajectory": "revisit", "n_frames": args.n,
-                             "revisit_amp": args.amp})
+                             "revisit_amp": args.amp,
+                             "revisit_phase": args.phase})
     n = args.n
     ds = SyntheticDataset(cfg, n_frames=n, trajectory="revisit", span=1.0)
     slam = MIPSFusionTPU(cfg, dataset=ds)
