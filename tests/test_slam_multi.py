@@ -84,8 +84,10 @@ def test_keyframes_all_bound(multi_run):
 
 def test_trajectory_stays_reasonable(multi_run):
     _, results = multi_run
-    # multi-submap path with tiny budgets: generous bound, just not lost
-    assert results["absolute_translational_error.rmse"] < 0.15, results
+    # measured 25.5 mm at this tiny scale (round 5, seed-pinned);
+    # bound = measured + ~55% (round-4 VERDICT weak #6: the old 150 mm
+    # bound only caught divergence, not accuracy regressions)
+    assert results["absolute_translational_error.rmse"] < 0.04, results
 
 
 def test_submap_params_independent(multi_run):
