@@ -47,17 +47,35 @@ class ICPResult(NamedTuple):
     rmse: jnp.ndarray            # scalar
 
 
-@partial(jax.jit, static_argnames=("n_iters",))
+@partial(jax.jit, static_argnames=("n_iters", "rel_damping",
+                                   "robust_delta"))
 def icp_point_to_plane(src: jnp.ndarray, src_valid: jnp.ndarray,
                        dst: jnp.ndarray, dst_valid: jnp.ndarray,
                        dst_normals: jnp.ndarray, threshold: float,
-                       n_iters: int = 20) -> ICPResult:
+                       n_iters: int = 20,
+                       rel_damping: float = 0.0,
+                       robust_delta: float = 0.0) -> ICPResult:
     """Register src onto dst minimizing point-to-plane error.
 
     src [N,3] + validity mask, dst [M,3] + mask + normals. Matches the
     semantics of o3d registration_icp(..., PointToPlane): correspondences
     are nearest neighbors within ``threshold``.
-    """
+
+    ``rel_damping`` > 0 adds Tikhonov damping RELATIVE to the normal
+    equations' own scale (lambda = rel_damping * tr(H)/6): directions
+    the correspondences barely constrain (the tangential null space of
+    point-to-plane — sliding along the scene's dominant planes) then
+    take ~no step instead of wandering on correspondence/normal noise.
+    Used by the tracker's drift gate, where "propose no correction in
+    unconstrained directions" is the safe behavior; the loop-closure
+    rectification keeps the raw solve (its clouds are dense and the
+    reference's open3d call is undamped).
+
+    ``robust_delta`` > 0 applies a Cauchy weight 1/(1 + (r/delta)^2) on
+    the plane residual: correspondences at occlusion boundaries and
+    across depth edges (plane error >> delta even at the correct pose)
+    otherwise drag the least-squares solve toward phantom corrections
+    of the sampling-floor scale."""
     big = jnp.asarray(1e10, src.dtype)
 
     def step(T, _):
@@ -71,10 +89,14 @@ def icp_point_to_plane(src: jnp.ndarray, src_valid: jnp.ndarray,
         q = dst[j]
         n = dst_normals[j]
         r = jnp.sum((p - q) * n, axis=-1)           # point-to-plane residual
+        if robust_delta > 0.0:
+            w = w / (1.0 + (r / robust_delta) ** 2)
         # jacobian rows: [n, p x n] w.r.t. twist (rho, phi)
         J = jnp.concatenate([n, jnp.cross(p, n)], axis=-1)  # [N, 6]
         Jw = J * w[:, None]
-        H = _mm(Jw.T, J) + 1e-6 * jnp.eye(6, dtype=src.dtype)
+        H = _mm(Jw.T, J)
+        lam = 1e-6 + rel_damping * jnp.trace(H) / 6.0
+        H = H + lam * jnp.eye(6, dtype=src.dtype)
         g = Jw.T @ (r * 1.0)
         xi = -jnp.linalg.solve(H, g)
         dT = se3_exp(xi)

@@ -556,6 +556,10 @@ class MIPSFusionTPU:
         self.fcfg_track = _dc.replace(self.fcfg, **_tz) if _tz else self.fcfg
         self.rcfg = tracker.ROConfig.from_dict(config)
         self.gcfg = tracker.GOConfig.from_dict(config)
+        self.dgcfg = tracker.DriftGateConfig.from_dict(config)
+        if self.dgcfg.thresh <= 0.0:
+            self.dgcfg = None    # gate off: tracker runs the exact
+                                 # reference-default program
         self.mcfg = mapper.MapConfig.from_dict(config)
         self.lw = sr.LossWeights.from_dict(config)
 
@@ -731,6 +735,8 @@ class MIPSFusionTPU:
         # host-side trackers
         self.track_losses: List[float] = []
         self.track_accepted: List = []
+        self.track_rescued: List = []
+        self.track_drift: List = []
         # pose-gate state: EWMA of accepted tracking losses (device
         # scalar; -1 = unseeded). Reset at submap switches, where the
         # loss distribution legitimately changes.
@@ -738,6 +744,24 @@ class MIPSFusionTPU:
         self._prev_loss = jnp.asarray(-1.0, jnp.float32)
         self.last_switch_frame = 0
         self._gt_cache: Dict[int, np.ndarray] = {}
+
+        # drift-gate anchor: the last keyframe's strided cloud + normals
+        # (immutable sensor data — the only reference the basin slide
+        # cannot drag, see tracker.DriftGateConfig). kf_frame -1 =
+        # disarmed (fresh submap / after a switch, until the next
+        # keyframe lays a new anchor in the new local frame).
+        self._gate_pts = self._gate_normals = self._gate_valid = None
+        self._gate_kf_frame = jnp.asarray(-1, jnp.int32)
+        self._last_drift = jnp.asarray(0.0, jnp.float32)
+        self._prev_rescued = jnp.asarray(False)
+        self.n_rescued = 0
+        if self.dgcfg is not None:
+            # pre-allocate a disarmed anchor so the tracking program is
+            # ONE jit variant whether or not an anchor exists yet
+            M = self.dgcfg.anchor_rows * self.dgcfg.anchor_cols
+            self._gate_pts = jnp.full((M, 3), 1e6, jnp.float32)
+            self._gate_normals = jnp.zeros((M, 3), jnp.float32)
+            self._gate_valid = jnp.zeros((M,), bool)
 
         out = config.get("data", {}).get("output")
         self.output_dir = None
@@ -848,6 +872,7 @@ class MIPSFusionTPU:
         st = slam_state.add_keyframe(st, frame_rays, 0,
                                      self.kf_rows, self.kf_cols)
         self.state = st
+        self._gate_anchor_update(frame_rays, 0)
 
     def track(self, frame: Dict, i: int, switch_tracking: bool = False):
         """Track frame i against the active submap (ref :470-576).
@@ -876,14 +901,29 @@ class MIPSFusionTPU:
             from_current=bool(switch_tracking),
             loss_ewma=self._loss_ewma,
             prev_loss=self._prev_loss,
-            ray_sharding=self._ray_sharding)
+            ray_sharding=self._ray_sharding,
+            dgcfg=self.dgcfg, gate_pts=self._gate_pts,
+            gate_normals=self._gate_normals, gate_valid=self._gate_valid,
+            gate_kf_frame=self._gate_kf_frame,
+            prev_rescued=self._prev_rescued)
         self.state = st._replace(est_c2w=upd.est_c2w,
                                  est_c2w_rel=upd.est_c2w_rel,
                                  keyframe_ref=upd.keyframe_ref)
         self._loss_ewma = upd.loss_ewma       # device scalar, no sync
         self._prev_loss = upd.loss            # escalation signal
+        self._last_drift = upd.drift_res      # device scalar, no sync
+        self._prev_rescued = upd.rescued      # motion-model suppressor
         self.track_losses.append(upd.loss)
         self.track_accepted.append(upd.accepted)
+        if self.dgcfg is not None:
+            self.track_rescued.append(upd.rescued)
+            self.track_drift.append(upd.drift_res)
+            if not switch_tracking:
+                # device-refreshed anchor state (tracker.TrackUpdate)
+                self._gate_pts = upd.gate_pts
+                self._gate_normals = upd.gate_normals
+                self._gate_valid = upd.gate_valid
+                self._gate_kf_frame = upd.gate_kf_frame
 
     def do_local_ba(self, frame: Dict, i: int):
         """Local BA on the active submap (ref :259-370). ONE dispatch
@@ -904,6 +944,24 @@ class MIPSFusionTPU:
         self.state = st
         self.submap_params[self.active_id] = params
         self.map_opt_state = opt_state
+
+    def _gate_anchor_update(self, packed, i: int):
+        """Arm the drift-gate anchor from frame ``i``'s packed data
+        (first-frame arming; the steady loop refreshes the anchor ON
+        DEVICE inside the tracking dispatch — tracker.TrackUpdate)."""
+        if self.dgcfg is None:
+            return
+        self._gate_pts, self._gate_normals, self._gate_valid = \
+            tracker.gate_anchor(packed, self.dgcfg.anchor_rows,
+                                self.dgcfg.anchor_cols)
+        self._gate_kf_frame = jnp.asarray(i, jnp.int32)
+
+    def _gate_disarm(self):
+        """Drop the drift-gate anchor (submap switch / resume: est_c2w
+        re-expresses in a new local frame, so the anchor's stored pose
+        index no longer matches until the next keyframe)."""
+        if self.dgcfg is not None:
+            self._gate_kf_frame = jnp.asarray(-1, jnp.int32)
 
     def add_keyframe(self, frame: Dict, i: int):
         packed = self._packed(frame)
@@ -957,6 +1015,7 @@ class MIPSFusionTPU:
         self.last_switch_frame = i
         self._loss_ewma = jnp.asarray(-1.0, jnp.float32)  # new loss regime
         self._prev_loss = jnp.asarray(-1.0, jnp.float32)
+        self._gate_disarm()
         st = st._replace(active_first_kf=jnp.asarray(kf_id, jnp.int32),
                          last_switch_frame=jnp.asarray(i, jnp.int32))
         self.state = st
@@ -1026,6 +1085,7 @@ class MIPSFusionTPU:
         self.inactive_started = True
         self._loss_ewma = jnp.asarray(-1.0, jnp.float32)  # new loss regime
         self._prev_loss = jnp.asarray(-1.0, jnp.float32)
+        self._gate_disarm()
 
     def local_ba_switch(self, frame: Dict, kf_id: int, i: int):
         """Pose-only BA of the loop keyframe vs the switched-to submap
@@ -1383,6 +1443,10 @@ class MIPSFusionTPU:
             jnp.asarray(aft_id, jnp.int32), jnp.asarray(prev_id, jnp.int32),
             jnp.asarray(used, jnp.int32),
             jnp.asarray(self.key_edge_weight, jnp.float32))
+        # PGO just rewrote frame poses wholesale; a drift-gate anchor
+        # recorded before it is stale (est_c2w[anchor_frame] no longer
+        # matches the cloud) — disarm and re-arm from the next frame
+        self._gate_disarm()
         # optional SDF-consistency refinement of the anchors on top of
         # PGO (ref's older global_BA_overlapping path)
         if self.config["mapping"].get("global_BA", {}).get(
@@ -1602,6 +1666,7 @@ class MIPSFusionTPU:
         self.inactive_started = self._host_used > 1
         self._loss_ewma = jnp.asarray(-1.0, jnp.float32)  # fresh regime
         self._prev_loss = jnp.asarray(-1.0, jnp.float32)
+        self._gate_disarm()
         return last_frame + 1
 
     def save_checkpoint(self, tag: str = "final"):

@@ -279,6 +279,111 @@ class GOConfig:
                         gate_abs=float(gate.get("abs", 0.0)))
 
 
+@dataclasses.dataclass(frozen=True)
+class DriftGateConfig:
+    """Frame-to-keyframe geometric drift gate + ICP rescue (TPU rebuild
+    robustness lever, OFF by default = exact reference semantics).
+
+    The round-5 multi-seed study (BASELINE.md) showed full-budget
+    fast-motion divergence is a gradual basin slide that (a) every
+    EWMA-relative loss gate absorbs, and (b) the neural map itself
+    absorbs within ~1 BA cycle — tools/diag_absres.py measured the
+    median |SDF| residual of the live map pinned at ~4 mm while the
+    pose error passed 100 mm (the map is dragged along by the
+    pixels_cur rays). The only drift-proof anchor in the system is the
+    stored keyframe DEPTH data: camera-frame back-projections are
+    immutable sensor observations, and keyframes are laid down at
+    keyframe_every cadence by (inductively) healthy poses.
+
+    Gate: point-to-plane ICP of the current frame's strided
+    back-projection onto the last keyframe's stored cloud, from the
+    estimated relative pose; the MAGNITUDE of the correction ICP
+    proposes (trans + rot_lever x angle, meters) is the drift
+    measurement — an absolute metric that accumulates exactly the slip
+    since the keyframe. (A median per-point plane-distance gate was
+    tried first and under-measures tangential slips — the aperture
+    problem; the ICP normal equations aggregate the minority of
+    differently-oriented surfaces that constrain them.)
+    Rescue (correction > ``thresh`` with enough inliers): adopt the
+    ICP-corrected pose, optionally GO-polish photometrically, then
+    VERIFY with the same instrument — a second ICP from the rescued
+    pose must propose < half the original correction, else the
+    original pose stands. The ICP+polish body sits under lax.cond and
+    costs nothing unless it fires; the always-on measurement is one
+    small NN + GN solve inside the existing tracking dispatch.
+    """
+    thresh: float = 0.0        # meters of proposed correction; 0 disables
+    src_rows: int = 16         # current-frame strided grid
+    src_cols: int = 24
+    anchor_rows: int = 24      # keyframe anchor subsample grid
+    anchor_cols: int = 43
+    icp_iters: int = 10
+    icp_thresh: float = 0.2    # NN correspondence cutoff (m)
+    rot_lever: float = 2.0     # m/rad: rotation's weight in the slip
+                               # magnitude (~ the scene's working depth)
+    anchor_every: int = 5      # frames between anchor refreshes (the
+                               # measured slides run 15-40 mm/frame, so
+                               # a fresh anchor catches them; fresher
+                               # also = more overlap = lower floor)
+    anchor_health: float = 0.5 # refresh only when the frame's own
+                               # drift reading < health * thresh (an
+                               # anchor inherits its frame's error)
+    polish_prior_w: float = 3.0  # quadratic anchor of the GO polish to
+                               # the ICP pose (the polish optimizes
+                               # against a possibly-dragged map)
+    min_inlier_frac: float = 0.3   # of valid src points, else the ICP
+                               # verdict is not trusted (overlap lost)
+    icp_damping: float = 0.05  # relative Tikhonov damping of the gate
+                               # ICP (see icp.icp_point_to_plane)
+    icp_robust_delta: float = 0.02  # Cauchy scale (m) on the gate ICP's
+                               # plane residuals (occlusion outliers)
+    polish: bool = True        # GO re-run from the ICP-corrected pose
+
+    @staticmethod
+    def from_dict(cfg: dict) -> "DriftGateConfig":
+        g = cfg["tracking"].get("drift_gate", {}) or {}
+        return DriftGateConfig(
+            thresh=float(g.get("thresh", 0.0)),
+            src_rows=int(g.get("src_rows", 16)),
+            src_cols=int(g.get("src_cols", 24)),
+            anchor_rows=int(g.get("anchor_rows", 24)),
+            anchor_cols=int(g.get("anchor_cols", 43)),
+            icp_iters=int(g.get("icp_iters", 10)),
+            icp_thresh=float(g.get("icp_thresh", 0.2)),
+            icp_damping=float(g.get("icp_damping", 0.05)),
+            icp_robust_delta=float(g.get("icp_robust_delta", 0.02)),
+            rot_lever=float(g.get("rot_lever", 2.0)),
+            anchor_every=int(g.get("anchor_every", 5)),
+            anchor_health=float(g.get("anchor_health", 0.5)),
+            polish_prior_w=float(g.get("polish_prior_w", 3.0)),
+            min_inlier_frac=float(g.get("min_inlier_frac", 0.3)),
+            polish=bool(g.get("polish", True)))
+
+
+def _gate_anchor_core(packed_frame: jnp.ndarray, rows: int, cols: int):
+    """Build a drift-gate anchor from a packed [H,W,7] frame: strided
+    camera-frame back-projection + kNN-PCA normals. Invalid-depth
+    points are banished to 1e6 so they never win an NN. Traceable —
+    runs both standalone (first-frame arming) and under lax.cond
+    inside the tracking dispatch (periodic on-device refresh)."""
+    from .icp import estimate_normals
+
+    H, W = packed_frame.shape[:2]
+    rr = jnp.linspace(0, H - 1, rows).astype(jnp.int32)
+    cc = jnp.linspace(0, W - 1, cols).astype(jnp.int32)
+    r, c = jnp.meshgrid(rr, cc, indexing="ij")
+    r, c = r.reshape(-1), c.reshape(-1)
+    d = packed_frame[r, c, 6:7]
+    pts = packed_frame[r, c, :3] * d
+    valid = d[:, 0] > 0.0
+    pts = jnp.where(valid[:, None], pts, 1e6)
+    normals = estimate_normals(pts, k=8)
+    return pts, normals, valid
+
+
+gate_anchor = jax.jit(_gate_anchor_core, static_argnames=("rows", "cols"))
+
+
 def _pose_optim(gcfg: GOConfig):
     return optax.multi_transform(
         {"rot": optax.adam(gcfg.lr_rot), "trans": optax.adam(gcfg.lr_trans)},
@@ -423,6 +528,9 @@ class TrackResult(NamedTuple):
     loss_ewma: jnp.ndarray   # running accepted-loss EWMA (gate state)
     accepted: jnp.ndarray    # bool: False = pose gate fell back to the
                              # motion-model prediction
+    drift_res: jnp.ndarray   # drift-gate residual (m; 0 when gate off)
+    rescued: jnp.ndarray     # bool: drift gate fired and the ICP/polish
+                             # pose was adopted
 
 
 class TrackUpdate(NamedTuple):
@@ -433,11 +541,21 @@ class TrackUpdate(NamedTuple):
     loss: jnp.ndarray
     loss_ewma: jnp.ndarray
     accepted: jnp.ndarray
+    drift_res: jnp.ndarray
+    rescued: jnp.ndarray
+    # drift-gate anchor state (None when the gate is off): refreshed ON
+    # DEVICE every anchor_every frames from the tracked frame's own
+    # packed data — zero host syncs in the steady loop
+    gate_pts: jnp.ndarray = None
+    gate_normals: jnp.ndarray = None
+    gate_valid: jnp.ndarray = None
+    gate_kf_frame: jnp.ndarray = None
 
 
 @partial(jax.jit, static_argnames=("fcfg", "rcfg", "gcfg", "n_iter_ro",
                                    "n_iter_go", "from_current",
-                                   "keyframe_every", "ray_sharding"))
+                                   "keyframe_every", "ray_sharding",
+                                   "dgcfg"))
 def track_frame_update(field_params: Dict, fcfg: sr.FieldConfig,
                        consts: sr.FieldConsts, rcfg: ROConfig,
                        gcfg: GOConfig, pst: jnp.ndarray, base_key: jax.Array,
@@ -449,7 +567,13 @@ def track_frame_update(field_params: Dict, fcfg: sr.FieldConfig,
                        from_current: bool = False,
                        loss_ewma: jnp.ndarray = None,
                        prev_loss: jnp.ndarray = None,
-                       ray_sharding=None) -> TrackUpdate:
+                       ray_sharding=None,
+                       dgcfg: "DriftGateConfig" = None,
+                       gate_pts: jnp.ndarray = None,
+                       gate_normals: jnp.ndarray = None,
+                       gate_valid: jnp.ndarray = None,
+                       gate_kf_frame: jnp.ndarray = None,
+                       prev_rescued: jnp.ndarray = None) -> TrackUpdate:
     """Track frame ``frame_idx`` AND commit the pose-store bookkeeping
     (ref mipsfusion.py:470-576 including the :558-576 epilogue) in one
     jitted dispatch.
@@ -468,7 +592,11 @@ def track_frame_update(field_params: Dict, fcfg: sr.FieldConfig,
                       packed_frame[..., :3], est_c2w, frame_idx,
                       use_const_speed, lw, n_iter_ro, n_iter_go,
                       from_current=from_current, loss_ewma=loss_ewma,
-                      prev_loss=prev_loss, ray_sharding=ray_sharding)
+                      prev_loss=prev_loss, ray_sharding=ray_sharding,
+                      dgcfg=dgcfg, gate_pts=gate_pts,
+                      gate_normals=gate_normals, gate_valid=gate_valid,
+                      gate_kf_frame=gate_kf_frame,
+                      prev_rescued=prev_rescued)
 
     # pose-store epilogue (ref mipsfusion.py:558-576)
     kf_id = frame_idx // keyframe_every
@@ -484,15 +612,48 @@ def track_frame_update(field_params: Dict, fcfg: sr.FieldConfig,
                         jnp.asarray(active_first_kf, jnp.int32),
                         keyframe_ref[kf_id])
     keyframe_ref = keyframe_ref.at[kf_id].set(ref_new)
+    g_pts, g_nrm, g_val, g_kf = (gate_pts, gate_normals, gate_valid,
+                                 gate_kf_frame)
+    if dgcfg is not None and dgcfg.thresh > 0.0 and gate_pts is not None \
+            and not from_current:
+        # periodic ON-DEVICE anchor refresh from the frame just tracked:
+        # due when the anchor aged past anchor_every; allowed only when
+        # the frame's own drift reading is below anchor_health * thresh
+        # (an anchor inherits its frame's pose error). If refreshes kept
+        # being vetoed (sustained strain / low overlap) the health bound
+        # relaxes to the full threshold after 3 missed cycles rather
+        # than letting the anchor age without limit.
+        armed = g_kf >= 0
+        age = frame_idx - g_kf
+        due = (~armed) | (age >= dgcfg.anchor_every)
+        health = jnp.where(age >= 3 * dgcfg.anchor_every,
+                           dgcfg.thresh,
+                           dgcfg.anchor_health * dgcfg.thresh)
+        healthy = (~armed) | (res.drift_res <= health)
+        do = due & healthy & ~switch_tracking
+
+        def build(_):
+            pts, normals, valid = _gate_anchor_core(
+                packed_frame, dgcfg.anchor_rows, dgcfg.anchor_cols)
+            return pts, normals, valid, frame_idx
+
+        def keep(_):
+            return g_pts, g_nrm, g_val, g_kf
+
+        g_pts, g_nrm, g_val, g_kf = jax.lax.cond(do, build, keep, None)
+
     return TrackUpdate(est_c2w=est_c2w, est_c2w_rel=est_c2w_rel,
                        keyframe_ref=keyframe_ref, pose=res.pose,
                        loss=res.loss, loss_ewma=res.loss_ewma,
-                       accepted=res.accepted)
+                       accepted=res.accepted, drift_res=res.drift_res,
+                       rescued=res.rescued, gate_pts=g_pts,
+                       gate_normals=g_nrm, gate_valid=g_val,
+                       gate_kf_frame=g_kf)
 
 
 @partial(jax.jit, static_argnames=("fcfg", "rcfg", "gcfg", "n_iter_ro",
                                    "n_iter_go", "from_current",
-                                   "ray_sharding"))
+                                   "ray_sharding", "dgcfg"))
 def track_frame(field_params: Dict, fcfg: sr.FieldConfig,
                 consts: sr.FieldConsts, rcfg: ROConfig, gcfg: GOConfig,
                 pst: jnp.ndarray, key: jax.Array,
@@ -503,7 +664,13 @@ def track_frame(field_params: Dict, fcfg: sr.FieldConfig,
                 from_current: bool = False,
                 loss_ewma: jnp.ndarray = None,
                 prev_loss: jnp.ndarray = None,
-                ray_sharding=None) -> TrackResult:
+                ray_sharding=None,
+                dgcfg: "DriftGateConfig" = None,
+                gate_pts: jnp.ndarray = None,
+                gate_normals: jnp.ndarray = None,
+                gate_valid: jnp.ndarray = None,
+                gate_kf_frame: jnp.ndarray = None,
+                prev_rescued: jnp.ndarray = None) -> TrackResult:
     """Full per-frame tracking: motion model -> RO -> GO. One jitted call.
 
     Mirrors tracking_render (ref mipsfusion.py:470-563) with the
@@ -522,9 +689,23 @@ def track_frame(field_params: Dict, fcfg: sr.FieldConfig,
         prev_pose = est_c2w[frame_idx - 1]
         prev_prev_pose = est_c2w[jnp.maximum(frame_idx - 2, 0)]
         delta = _mm(prev_pose, pose_inverse(prev_prev_pose))
-        pred = jnp.where(use_const_speed, _mm(delta, prev_pose), prev_pose)
+        use_cs = use_const_speed
+        if prev_rescued is not None:
+            # a drift-gate rescue at frame-1 put a correction JUMP into
+            # the (frame-1, frame-2) delta; const-speed would extrapolate
+            # that jump on top of the corrected pose — fall back to the
+            # previous (corrected) pose for one frame
+            use_cs = use_cs & ~prev_rescued
+        pred = jnp.where(use_cs, _mm(delta, prev_pose), prev_pose)
 
-    k_ro, k_px, k_go = jax.random.split(key, 3)
+    gate_on = (dgcfg is not None and dgcfg.thresh > 0.0
+               and gate_pts is not None and not from_current)
+    if gate_on:
+        # the extra split only exists when the gate is configured, so
+        # gate-off runs keep the exact reference-default PRNG streams
+        k_ro, k_px, k_go, k_polish = jax.random.split(key, 4)
+    else:
+        k_ro, k_px, k_go = jax.random.split(key, 3)
 
     pose = pred
     if n_iter_ro > 0:
@@ -577,5 +758,79 @@ def track_frame(field_params: Dict, fcfg: sr.FieldConfig,
         seeded = loss_ewma > 0.0
         loss_ewma = jnp.where(seeded, 0.9 * loss_ewma + 0.1 * loss, loss)
         accepted = jnp.asarray(True)
+
+    drift_res = jnp.asarray(0.0, jnp.float32)
+    rescued = jnp.asarray(False)
+    if gate_on:
+        from .icp import icp_point_to_plane
+
+        srr = jnp.linspace(0, H - 1, dgcfg.src_rows).astype(jnp.int32)
+        scc = jnp.linspace(0, W - 1, dgcfg.src_cols).astype(jnp.int32)
+        sr_, sc_ = jnp.meshgrid(srr, scc, indexing="ij")
+        sr_, sc_ = sr_.reshape(-1), sc_.reshape(-1)
+        sd = depth_img[sr_, sc_][:, None]
+        src_cam = rays_dir_img[sr_, sc_] * sd
+        src_valid = sd[:, 0] > 0.0
+        n_valid = jnp.sum(src_valid)
+
+        kf_pose = est_c2w[jnp.maximum(gate_kf_frame, 0)]
+        kf_inv = pose_inverse(kf_pose)
+
+        def slip_of(p4):
+            """ICP the current cloud onto the keyframe cloud from pose
+            p4; the magnitude of the proposed correction IS the drift
+            measurement. (A median point-to-plane residual was tried
+            first and under-measures tangential slips — the aperture
+            problem: a slip parallel to the dominant planes leaves most
+            per-point plane distances unchanged, while the ICP normal
+            equations aggregate the minority of differently-oriented
+            surfaces that do constrain it.)"""
+            rel0 = _mm(kf_inv, p4)
+            src0 = src_cam @ rel0[:3, :3].T + rel0[:3, 3]
+            icp = icp_point_to_plane(src0, src_valid, gate_pts,
+                                     gate_valid, gate_normals,
+                                     dgcfg.icp_thresh,
+                                     n_iters=dgcfg.icp_iters,
+                                     rel_damping=dgcfg.icp_damping,
+                                     robust_delta=dgcfg.icp_robust_delta)
+            T = icp.transform
+            theta = jnp.arccos(jnp.clip(
+                (jnp.trace(T[:3, :3]) - 1.0) * 0.5, -1.0, 1.0))
+            slip = jnp.linalg.norm(T[:3, 3]) + dgcfg.rot_lever * theta
+            enough = icp.n_inliers >= dgcfg.min_inlier_frac * n_valid
+            pose_c = _mm(kf_pose, _mm(T, rel0))
+            return slip, enough, pose_c
+
+        slip, enough, pose_icp = slip_of(pose)
+        drift_res = slip
+        armed = gate_kf_frame >= 0
+        fire = armed & enough & (slip > dgcfg.thresh)
+
+        def do_rescue(args):
+            pose, pose_icp = args
+            # geometric verify FIRST, decoupled from the polish: from a
+            # correct pose a second ICP proposes ~no further correction.
+            # (The polish's GO optimizes against a possibly-DRAGGED map
+            # — it must not hold veto power over the rescue.)
+            slip_v, enough_v, _ = slip_of(pose_icp)
+            ok = enough_v & (slip_v < 0.5 * slip)
+            pose_r = pose_icp
+            if dgcfg.polish and n_iter_go > 0:
+                pgcfg = dataclasses.replace(
+                    gcfg, motion_prior_w=dgcfg.polish_prior_w)
+                pose_r, _ = go_optimize(
+                    field_params, fcfg, consts, pgcfg, k_polish,
+                    rays_d_cam, target_rgb, target_d, pose_icp,
+                    n_iter_go, lw, prior_pose=pose_icp,
+                    ray_sharding=ray_sharding)
+            return (jnp.where(ok, pose_r, pose),
+                    jnp.where(ok, slip_v, slip), ok)
+
+        pose, drift_res, rescued = jax.lax.cond(
+            fire, do_rescue,
+            lambda a: (a[0], slip, jnp.asarray(False)),
+            (pose, pose_icp))
+
     return TrackResult(pose=pose, loss=loss, loss_ewma=loss_ewma,
-                       accepted=accepted)
+                       accepted=accepted, drift_res=drift_res,
+                       rescued=rescued)

@@ -73,6 +73,17 @@ VARIANTS = {
     "kfmask25": {"mapping.kf_strain_mask": 2.5},
     "kfmask25+roesc4": {"mapping.kf_strain_mask": 2.5,
                         "tracking.RO.escalate": 4.0},
+    # frame-to-keyframe drift gate + ICP rescue (round-5 follow-up to
+    # the seed-lottery diagnosis: the basin slide is invisible to every
+    # EWMA-relative signal AND to the live map — tools/diag_absres.py —
+    # but absolute against the last keyframe's immutable depth)
+    "dgate30": {"tracking.drift_gate.thresh": 0.03},
+    "dgate20": {"tracking.drift_gate.thresh": 0.02},
+    "dgate50": {"tracking.drift_gate.thresh": 0.05},
+    "dgate30+mp1": {"tracking.drift_gate.thresh": 0.03,
+                    "tracking.motion_prior_w": 1.0},
+    "dgate30+roesc4": {"tracking.drift_gate.thresh": 0.03,
+                       "tracking.RO.escalate": 4.0},
 }
 
 N_WARM, N_BENCH, N_REPEAT = 16, 30, 3

@@ -62,7 +62,12 @@ def main():
 
     est = np.asarray(slam.state.est_c2w[:n])
     losses = [float(x) for x in slam.track_losses]
-    print("frame  terr_mm  rot_deg  loss")
+    drift = [float(x) for x in slam.track_drift] if slam.track_drift \
+        else None
+    resc = [bool(x) for x in slam.track_rescued] if slam.track_rescued \
+        else None
+    print("frame  terr_mm  rot_deg  loss" +
+          ("  drift_mm resc" if drift else ""))
     worst = 0.0
     for i in range(n):
         gt = np.asarray(ds.gt_pose(i))
@@ -73,7 +78,10 @@ def main():
         worst = max(worst, terr)
         li = losses[i - 1] if 0 < i <= len(losses) else float("nan")
         flag = " <<<" if terr > 50 else ""
-        print(f"{i:5d}  {terr:7.1f}  {rdeg:7.2f}  {li:8.4f}{flag}")
+        extra = ""
+        if drift and 0 < i <= len(drift):
+            extra = f"  {drift[i-1]*1e3:8.1f} {'R' if resc[i-1] else '.'}"
+        print(f"{i:5d}  {terr:7.1f}  {rdeg:7.2f}  {li:8.4f}{extra}{flag}")
     ate = slam.evaluate(n - 1)["absolute_translational_error.rmse"]
     print(f"\nseed {args.seed}: ATE {float(ate)*1e3:.1f} mm, "
           f"worst frame err {worst:.1f} mm")
